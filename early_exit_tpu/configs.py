@@ -1,0 +1,73 @@
+"""Model/runtime configuration dataclasses.
+
+Field names mirror the reference CLI flags (util/conf.py:5-453) so configs
+round-trip through the same `train.py` / `inference.py` surface, with types
+fixed (the reference declares several float flags as `type=int`,
+util/conf.py:283-291, 385-430 — we parse them as floats).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # Architecture (flag parity: util/conf.py:171-300)
+    model_type: str = "early_conformer"   # early_conformer|splitformer|early_zipformer|full_conformer
+    d_model: int = 256
+    n_heads: int = 8
+    d_feed_forward: int = 2048
+    n_enc_exits: int = 6
+    n_enc_layers_per_exit: int = 2
+    n_dec_layers: int = 6
+    depthwise_kernel_size: int = 31
+    drop_prob: float = 0.1
+    max_len: int = 2000
+    n_mels: int = 80
+
+    # Vocabulary / special ids (util/conf.py:465-482; BPE-256 defaults)
+    vocab_size: int = 256
+    blank_id: int = 0        # src_pad_idx / CTC blank ('@', id 0)
+    pad_id: int = 126        # trg_pad_idx
+    bos_id: int = 1          # trg_sos_idx
+    eos_id: int = 2          # trg_eos_idx
+
+    # TPU-native knobs (no reference equivalent)
+    compute_dtype: str = "bfloat16"       # matmul dtype; fp32 softmax/LN always
+    conv_norm: str = "batch"              # conformer conv-module norm
+    length_mode: str = "reference"        # "reference": clamp(len/4); "true": exact conv arithmetic
+    remat: bool = False                   # jax.checkpoint each block
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    n_batch_split: int = 4
+    n_epochs: int = 10000
+    warmup: int = -1
+    adam_eps: float = 1e-9
+    weight_decay: float = 5e-4
+    clip: float = 1.0
+    max_utterance_length: int = 360
+    decoder_mode: str = "ctc"            # ctc | aed
+    aed_ce_weight: float = 0.7
+    aed_ctc_weight: float = 0.3
+    ctc_compat_padded_lengths: bool = True   # reference quirk train.py:57-58
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    sample_rate: int = 16000
+    n_fft: int = 512          # NOTE: actual FFT size is n_fft*2 (data_loader.py:8)
+    win_length: int = 320
+    hop_length: int = 160
+    n_mels: int = 80

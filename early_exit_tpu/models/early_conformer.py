@@ -1,0 +1,124 @@
+"""Early-exit Conformer CTC encoder (the primary model).
+
+Capability parity with ``Early_conformer`` (models/model/early_exit.py:565-634):
+conv subsample ×2 (→ ~T/4) → sinusoidal PE + dropout → n_exits Conformer
+stacks of n_layers each, with a per-exit Linear(d, V) + log_softmax head;
+returns per-exit log-probs stacked as (n_exits, B, T', V).
+
+TPU-native design: all `n_exits * n_layers` blocks share one stacked
+parameter pytree and run under a single `lax.scan`; exit hidden states are
+gathered from the scan outputs and the per-exit heads are applied with
+`vmap` over stacked head weights — one compiled block body, MXU-shaped
+matmuls, static shapes throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from early_exit_tpu.configs import ModelConfig
+from early_exit_tpu.models import conformer, subsampling
+from early_exit_tpu.nn import core as nn
+
+
+def _conformer_cfg(cfg: ModelConfig) -> conformer.ConformerConfig:
+    return conformer.ConformerConfig(
+        d_model=cfg.d_model, n_heads=cfg.n_heads, d_ff=cfg.d_feed_forward,
+        kernel_size=cfg.depthwise_kernel_size, dropout=cfg.drop_prob,
+        conv_norm=cfg.conv_norm, compute_dtype=cfg.compute_dtype)
+
+
+def init(key: jax.Array, cfg: ModelConfig):
+    """Returns (params, state)."""
+    k_sub, k_blocks, k_heads = jax.random.split(key, 3)
+    n_layers = cfg.n_enc_exits * cfg.n_enc_layers_per_exit
+    block_params, block_state = conformer.stack_init(
+        k_blocks, _conformer_cfg(cfg), n_layers)
+    head_keys = jax.random.split(k_heads, cfg.n_enc_exits)
+    heads = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[nn.linear_init(k, cfg.d_model, cfg.vocab_size) for k in head_keys])
+    params = {
+        "subsample": subsampling.conv_subsample_init(k_sub, cfg.n_mels,
+                                                     cfg.d_model),
+        "blocks": block_params,
+        "heads": heads,   # leaves have leading axis n_enc_exits
+    }
+    state = {"blocks": block_state}
+    return params, state
+
+
+def frontend_embed(params, feats, lengths, cfg: ModelConfig, *,
+                   rng: Optional[jax.Array], train: bool):
+    """Subsample + positional encoding + dropout; returns (x, sub_len, mask)."""
+    x = subsampling.conv_subsample_apply(params["subsample"], feats,
+                                         compute_dtype=cfg.dtype)
+    t_sub = x.shape[1]
+    pe = nn.sinusoidal_pe(t_sub, cfg.d_model)
+    x = x.astype(jnp.float32) + pe[None]
+    if train and rng is not None:
+        x = nn.dropout(x, cfg.drop_prob, rng, train=True)
+    if cfg.length_mode == "reference":
+        sub_len = subsampling.reference_subsampled_length(lengths, 4, t_sub)
+    else:
+        sub_len = jnp.minimum(subsampling.subsampled_length(lengths, 2), t_sub)
+    mask = jnp.arange(t_sub)[None, :] < sub_len[:, None]
+    x = jnp.where(mask[..., None], x, 0.0)
+    return x, sub_len, mask
+
+
+def apply_heads(heads, hidden, cfg: ModelConfig):
+    """(E, B, T, D) exit hidden states -> (E, B, T, V) log-probs."""
+    def one(head_p, h):
+        logits = nn.linear(head_p, h, compute_dtype=cfg.dtype)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jax.vmap(one)(heads, hidden)
+
+
+def apply(params, state, feats, lengths, cfg: ModelConfig, *,
+          rng: Optional[jax.Array] = None, train: bool = False):
+    """feats: (B, T, n_mels) log-mel; lengths: (B,) original frame counts.
+
+    Returns (log_probs (n_exits, B, T', V), sub_lengths (B,), new_state).
+    Matches the forward contract of early_exit.py:617-634 plus explicit
+    per-item subsampled lengths (the reference derives them at the caller).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    r_pe, r_blocks = jax.random.split(rng)
+    x, sub_len, mask = frontend_embed(params, feats, lengths, cfg,
+                                      rng=r_pe, train=train)
+
+    ccfg = _conformer_cfg(cfg)
+    _, new_block_state, layer_outs = conformer.stack_apply(
+        params["blocks"], state["blocks"], x, mask, ccfg,
+        rng=r_blocks, train=train, collect_outputs=True)
+
+    # exit i reads the output of layer (i+1)*n_layers_per_exit - 1
+    exit_idx = jnp.arange(1, cfg.n_enc_exits + 1) * cfg.n_enc_layers_per_exit - 1
+    exit_hidden = jnp.take(layer_outs, exit_idx, axis=0)   # (E, B, T', D)
+
+    log_probs = apply_heads(params["heads"], exit_hidden, cfg)
+    return log_probs, sub_len, {"blocks": new_block_state}
+
+
+def encode_exit(params, state, feats, lengths, cfg: ModelConfig, n_exit: int):
+    """Run the trunk only up to exit `n_exit` (1-based) and return that
+    exit's log-probs — the efficient analogue of re-running `_encoder_`
+    per exit (inference.py:44-48 re-runs the trunk from scratch per exit;
+    here the caller can simply slice `apply`'s output, but this entry point
+    exists for single-exit deployment where later layers must not run)."""
+    sl = slice(0, n_exit * cfg.n_enc_layers_per_exit)
+    sub_params = jax.tree_util.tree_map(lambda a: a[sl], params["blocks"])
+    sub_state = jax.tree_util.tree_map(lambda a: a[sl], state["blocks"])
+    x, sub_len, mask = frontend_embed(params, feats, lengths, cfg,
+                                      rng=None, train=False)
+    ccfg = _conformer_cfg(cfg)
+    h, _ = conformer.stack_apply(sub_params, sub_state, x, mask, ccfg,
+                                 train=False)
+    head = jax.tree_util.tree_map(lambda a: a[n_exit - 1], params["heads"])
+    logits = nn.linear(head, h, compute_dtype=cfg.dtype)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), sub_len
