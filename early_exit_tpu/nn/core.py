@@ -128,6 +128,55 @@ def depthwise_conv1d_init(key: jax.Array, channels: int, kernel: int,
     return p
 
 
+@jax.custom_vjp
+def _dwconv_core(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Depthwise 'SAME' conv over time: x (B, T, C), w (k, 1, C).
+
+    Hand-written VJP: XLA's SPMD partitioner mis-scales the weight-grad of
+    `feature_group_count` convolutions by the size of mesh axes the operands
+    are *replicated* over (reproduced on jax 0.9.0: grad is exactly
+    n_model_axis times too large on a (data, model) mesh). The backward pass
+    below uses only elementwise multiplies + reductions, which partition
+    correctly.
+    """
+    k = w.shape[0]
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[((k - 1) // 2, k // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=x.shape[-1],
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _dwconv_fwd(x, w):
+    return _dwconv_core(x, w), (x, w)
+
+
+def _dwconv_bwd(res, g):
+    x, w = res
+    k = w.shape[0]
+    pl, pr = (k - 1) // 2, k // 2
+    # dx = depthwise conv of g with the time-flipped kernel, swapped padding
+    wf = jnp.flip(w, axis=0)
+    dx = lax.conv_general_dilated(
+        g.astype(x.dtype), wf, window_strides=(1,), padding=[(pr, pl)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=x.shape[-1],
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    # dw[j, 0, c] = sum_{b,t} g[b, t, c] * x[b, t + j - pl, c]
+    T = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
+    g32 = g.astype(jnp.float32)
+    taps = [jnp.sum(g32 * xp[:, j:j + T, :].astype(jnp.float32), axis=(0, 1))
+            for j in range(k)]
+    dw = jnp.stack(taps)[:, None, :].astype(w.dtype)
+    return dx, dw
+
+
+_dwconv_core.defvjp(_dwconv_fwd, _dwconv_bwd)
+
+
 def depthwise_conv1d(p: Param, x: jax.Array, *, compute_dtype=None) -> jax.Array:
     """Depthwise 'SAME' conv over time of (B, T, C) — the Conformer
     convolution-module kernel (torchaudio Conformer depthwise conv,
@@ -136,13 +185,7 @@ def depthwise_conv1d(p: Param, x: jax.Array, *, compute_dtype=None) -> jax.Array
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    k = w.shape[0]
-    y = lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding=[((k - 1) // 2, k // 2)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=x.shape[-1],
-        preferred_element_type=jnp.float32,
-    )
+    y = _dwconv_core(x, w).astype(jnp.float32)
     if "b" in p:
         y = y + p["b"]
     return y

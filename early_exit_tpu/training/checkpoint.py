@@ -1,0 +1,124 @@
+"""Checkpointing: atomic save/load, save-on-best, checkpoint averaging.
+
+Parity surface:
+- file naming `mod{epoch:03d}-transformer` (model) and
+  `lr{epoch:03d}-transformer` (optimizer + schedule step), as produced by
+  train.py:122-128 and consumed by util/model_utils.py:15-48.
+- `avg_models(dir, start, end)` averages every existing epoch checkpoint in
+  [start, end] leaf-wise (util/model_utils.py:28-46).
+
+TPU-native differences: checkpoints are msgpack-serialized JAX pytrees
+(flax.serialization) written atomically (tmp + rename) — the reference's
+torch.save can leave partial files; resume state includes the optimizer
+pytree and the step counter in one artifact.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(tree: Any, path: str) -> None:
+    """Atomic msgpack write."""
+    data = serialization.to_bytes(_to_host(tree))
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_pytree(template: Any, path: str) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def model_ckpt_path(directory: str, epoch: int) -> str:
+    return os.path.join(directory, f"mod{epoch:03d}-transformer")
+
+
+def opt_ckpt_path(directory: str, epoch: int) -> str:
+    return os.path.join(directory, f"lr{epoch:03d}-transformer")
+
+
+def save_epoch(directory: str, epoch: int, params, model_state,
+               opt_state=None, step=None) -> None:
+    save_pytree({"params": params, "model_state": model_state},
+                model_ckpt_path(directory, epoch))
+    if opt_state is not None:
+        save_pytree({"opt_state": opt_state, "step": step},
+                    opt_ckpt_path(directory, epoch))
+
+
+def load_epoch(directory: str, epoch: int, params_template,
+               model_state_template):
+    tree = load_pytree({"params": params_template,
+                        "model_state": model_state_template},
+                       model_ckpt_path(directory, epoch))
+    return tree["params"], tree["model_state"]
+
+
+def load_model_file(path: str, params_template, model_state_template):
+    tree = load_pytree({"params": params_template,
+                        "model_state": model_state_template}, path)
+    return tree["params"], tree["model_state"]
+
+
+def avg_models(directory: str, start: int, end: int, params_template,
+               model_state_template):
+    """Leaf-wise average of epoch checkpoints in [start, end]; missing
+    epochs are skipped (util/model_utils.py:28-41 behavior)."""
+    if start > end:
+        raise ValueError("avg_model_start must be <= avg_model_end")
+    acc = None
+    count = 0
+    for epoch in range(start, end + 1):
+        path = model_ckpt_path(directory, epoch)
+        if epoch != start and not os.path.exists(path):
+            continue
+        tree = load_pytree({"params": params_template,
+                            "model_state": model_state_template}, path)
+        tree = _to_host(tree)
+        if acc is None:
+            acc = tree
+        else:
+            acc = jax.tree_util.tree_map(lambda a, b: a + b, acc, tree)
+        count += 1
+    if acc is None:
+        raise FileNotFoundError(f"no checkpoints in [{start},{end}] under "
+                                f"{directory}")
+    avg = jax.tree_util.tree_map(
+        lambda a: (a / count).astype(a.dtype) if np.issubdtype(a.dtype, np.floating)
+        else a // count if np.issubdtype(a.dtype, np.integer) else a, acc)
+    return avg["params"], avg["model_state"]
+
+
+def latest_epoch(directory: str) -> Optional[int]:
+    """Scan for the newest saved epoch (auto-resume; replaces the
+    vestigial resume at train.py:97-111)."""
+    if not os.path.isdir(directory):
+        return None
+    best = None
+    for name in os.listdir(directory):
+        if name.startswith("mod") and name.endswith("-transformer"):
+            try:
+                epoch = int(name[3:6])
+            except ValueError:
+                continue
+            best = epoch if best is None else max(best, epoch)
+    return best

@@ -1,0 +1,104 @@
+"""Training step + epoch loop (pjit/GSPMD-ready).
+
+The reference's inner loop (train.py:15-92) does, per sub-batch: forward all
+exits → summed per-exit CTC loss (AED: 0.7·CE + 0.3·CTC per exit,
+train.py:44-51) → backward → global-norm clip → Noam-AdamW step. Here that
+whole pipeline is one jitted, shardable function of a TrainState pytree.
+
+Quirk parity: the reference feeds the PADDED frame count as the CTC input
+length for every item (train.py:57-58). `ctc_compat_padded_lengths=True`
+(default) reproduces that; False uses true per-item subsampled lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from early_exit_tpu.configs import ModelConfig, TrainConfig
+from early_exit_tpu.ops import ctc
+from early_exit_tpu.optim import make_optimizer, noam_schedule
+
+
+TrainState = Dict[str, Any]   # {"params", "model_state", "opt_state", "step"}
+
+
+def create_train_state(rng: jax.Array, model, model_cfg: ModelConfig,
+                       optimizer) -> TrainState:
+    params, model_state = model.init(rng, model_cfg)
+    opt_state = optimizer.init(params)
+    return {"params": params, "model_state": model_state,
+            "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+
+
+def ctc_multi_exit_loss(log_probs: jax.Array, sub_len: jax.Array,
+                        labels: jax.Array, label_lengths: jax.Array, *,
+                        blank: int, padded_lengths: bool):
+    """Sum of per-exit torch-mean CTC losses (train.py:60-62)."""
+    E, B, Tp, V = log_probs.shape
+    if padded_lengths:
+        input_len = jnp.full((B,), Tp, jnp.int32)
+    else:
+        input_len = sub_len
+    def per_exit(lp):
+        return ctc.ctc_loss(lp, input_len, labels, label_lengths,
+                            blank=blank)
+    losses = jax.vmap(per_exit)(log_probs)     # (E,)
+    return jnp.sum(losses), losses
+
+
+def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                    optimizer) -> Callable:
+    """Returns jittable `step(state, batch, rng) -> (state, metrics)`.
+
+    batch: {"feats": (B, T, F), "feat_lengths": (B,),
+            "labels": (B, L), "label_lengths": (B,)}.
+    Labels include BOS/EOS, as in the reference's CTC targets (train.py:61
+    passes the full padded target incl. specials).
+    """
+
+    def loss_fn(params, model_state, batch, rng):
+        log_probs, sub_len, new_state = model.apply(
+            params, model_state, batch["feats"], batch["feat_lengths"],
+            model_cfg, rng=rng, train=True)
+        total, per_exit = ctc_multi_exit_loss(
+            log_probs, sub_len, batch["labels"], batch["label_lengths"],
+            blank=model_cfg.blank_id,
+            padded_lengths=train_cfg.ctc_compat_padded_lengths)
+        return total, (per_exit, new_state)
+
+    schedule = None
+
+    def step(state: TrainState, batch, rng) -> tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state["step"])
+        (loss, (per_exit, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"], state["model_state"],
+                                   batch, rng)
+        updates, new_opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        metrics = {
+            "loss": loss,
+            "loss_per_exit": per_exit,
+            "grad_norm": optax.global_norm(grads),
+            "step": state["step"] + 1,
+        }
+        new_state = {"params": new_params, "model_state": new_model_state,
+                     "opt_state": new_opt_state, "step": state["step"] + 1}
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_forward(model, model_cfg: ModelConfig) -> Callable:
+    """Jittable inference forward: (params, state, feats, lengths) ->
+    (log_probs (E,B,T',V), sub_len)."""
+    def fwd(params, model_state, feats, lengths):
+        log_probs, sub_len, _ = model.apply(params, model_state, feats,
+                                            lengths, model_cfg, train=False)
+        return log_probs, sub_len
+    return fwd

@@ -1,0 +1,60 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from early_exit_tpu.configs import ModelConfig
+from early_exit_tpu.models import early_conformer
+from early_exit_tpu.training import checkpoint
+
+TINY = ModelConfig(d_model=16, n_heads=2, d_feed_forward=32,
+                   n_enc_exits=2, n_enc_layers_per_exit=1,
+                   depthwise_kernel_size=3, vocab_size=8, n_mels=4,
+                   compute_dtype="float32")
+
+
+def test_save_load_roundtrip(tmp_path):
+    params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
+    d = str(tmp_path / "ckpt")
+    checkpoint.save_epoch(d, 3, params, state)
+    p2, s2 = checkpoint.load_epoch(d, 3, params, state)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_avg_models(tmp_path):
+    d = str(tmp_path / "ckpt")
+    params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
+    # epochs 0,1,2 with params scaled by 1x, 2x, 3x -> average = 2x
+    for epoch, scale in [(0, 1.0), (1, 2.0), (2, 3.0)]:
+        scaled = jax.tree_util.tree_map(lambda x: x * scale, params)
+        checkpoint.save_epoch(d, epoch, scaled, state)
+    avg_p, _ = checkpoint.avg_models(d, 0, 2, params, state)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(avg_p)):
+        np.testing.assert_allclose(np.asarray(a) * 2.0, np.asarray(b),
+                                   rtol=1e-6)
+
+
+def test_avg_models_skips_missing(tmp_path):
+    d = str(tmp_path / "ckpt")
+    params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
+    checkpoint.save_epoch(d, 0, params, state)
+    checkpoint.save_epoch(d, 4, jax.tree_util.tree_map(lambda x: x * 3.0,
+                                                       params), state)
+    avg_p, _ = checkpoint.avg_models(d, 0, 4, params, state)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(avg_p)):
+        np.testing.assert_allclose(np.asarray(a) * 2.0, np.asarray(b),
+                                   rtol=1e-6)
+
+
+def test_latest_epoch(tmp_path):
+    d = str(tmp_path / "ckpt")
+    assert checkpoint.latest_epoch(d) is None
+    params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
+    checkpoint.save_epoch(d, 0, params, state)
+    checkpoint.save_epoch(d, 7, params, state)
+    assert checkpoint.latest_epoch(d) == 7

@@ -1,0 +1,99 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from early_exit_tpu.configs import ModelConfig, TrainConfig
+from early_exit_tpu.models import early_conformer
+from early_exit_tpu.optim import make_optimizer
+from early_exit_tpu.parallel import make_mesh, shard_params, shard_batch, param_pspec
+from early_exit_tpu.parallel.mesh import replicate
+from early_exit_tpu.training import trainer
+
+TINY = ModelConfig(d_model=32, n_heads=4, d_feed_forward=64,
+                   n_enc_exits=2, n_enc_layers_per_exit=1,
+                   depthwise_kernel_size=7, vocab_size=16, n_mels=8,
+                   compute_dtype="float32", drop_prob=0.0)
+
+
+def _batch(cfg, B=8, T=67, L=6, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "feats": jnp.asarray(rng.randn(B, T, cfg.n_mels).astype(np.float32)),
+        "feat_lengths": jnp.asarray([T] * B),
+        "labels": jnp.asarray(rng.randint(3, cfg.vocab_size, size=(B, L))),
+        "label_lengths": jnp.asarray([L] * B),
+    }
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_param_pspec_rules():
+    cfg = TINY
+    params, _ = early_conformer.init(jax.random.PRNGKey(0), cfg)
+    specs = jax.tree_util.tree_map_with_path(param_pspec, params)
+    # FFN w1 kernel: (L, d, ff) -> last dim on model axis
+    assert specs["blocks"]["ffn1"]["w1"]["w"] == P(None, None, "model")
+    assert specs["blocks"]["ffn1"]["w2"]["w"] == P(None, "model", None)
+    assert specs["heads"]["w"] == P(None, None, "model")
+    assert specs["subsample"]["convs"][0]["w"] == P()
+
+
+def test_dp_tp_train_step_matches_single_device():
+    cfg = TINY
+    tcfg = TrainConfig()
+    opt = make_optimizer(cfg.d_model, warmup=10)
+    state = trainer.create_train_state(jax.random.PRNGKey(0),
+                                       early_conformer, cfg, opt)
+    step = trainer.make_train_step(early_conformer, cfg, tcfg, opt)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(1)
+
+    # single-device reference
+    s1, m1 = jax.jit(step)(state, batch, rng)
+
+    # dp=4, tp=2 sharded
+    mesh = make_mesh(dp=4, tp=2)
+    sharded_state = {
+        "params": shard_params(state["params"], mesh),
+        "model_state": replicate(state["model_state"], mesh),
+        "opt_state": jax.tree_util.tree_map(
+            lambda x: x, state["opt_state"]),
+        "step": state["step"],
+    }
+    sharded_batch = shard_batch(batch, mesh)
+    s2, m2 = jax.jit(step)(sharded_state, sharded_batch, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-4)
+    # loss on the NEXT step (after one update) must also agree — a much
+    # stronger check than comparing raw params, without Adam's step-1
+    # sign(g) noise amplification.
+    _, m1b = jax.jit(step)(s1, batch, rng)
+    _, m2b = jax.jit(step)(s2, sharded_batch, rng)
+    np.testing.assert_allclose(float(m1b["loss"]), float(m2b["loss"]),
+                               rtol=2e-3)
+
+
+def test_forward_dp_only_mesh():
+    """Pure data parallel (8 devices on 'data')."""
+    cfg = TINY
+    mesh = make_mesh(dp=8, tp=1)
+    params, mstate = early_conformer.init(jax.random.PRNGKey(0), cfg)
+    params = shard_params(params, mesh)
+    mstate = replicate(mstate, mesh)
+    batch = _batch(cfg)
+    sb = shard_batch(batch, mesh)
+    fn = jax.jit(lambda p, s, f, l: early_conformer.apply(
+        p, s, f, l, cfg)[0])
+    out = fn(params, mstate, sb["feats"], sb["feat_lengths"])
+    assert out.shape[0] == cfg.n_enc_exits
+    assert np.isfinite(np.asarray(out)).all()
