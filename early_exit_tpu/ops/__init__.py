@@ -1,1 +1,1 @@
-from early_exit_tpu.ops import ctc
+from early_exit_tpu.ops import ctc, frontend

@@ -1,0 +1,113 @@
+"""On-device audio frontend: STFT power spectrogram → mel filterbank.
+
+Replaces the reference's CPU-worker torchaudio pipeline
+(util/data_loader.py:7-18: `T.Spectrogram(n_fft=args.n_fft*2, hop=160,
+win=320)` then `T.MelScale(n_mels=80, n_stft=args.n_fft+1)`) with a fully
+jittable JAX implementation that runs on the TPU: reflect-pad → frame →
+Hann window → rfft (XLA FFT) → |·|² → one (F, n_mels) matmul (MXU).
+
+Semantics parity with torchaudio defaults:
+- center=True with reflect padding of n_fft//2
+- periodic Hann window of win_length, zero-padded centred to n_fft
+- power=2.0, onesided, normalized=False
+- HTK mel scale (2595·log10(1+f/700)), f_min=0, f_max=sr/2, no norm;
+  NOTE: the reference applies NO log compression — the model consumes raw
+  power-mel features (data_loader.py:14-18), so `log_compress=False` is
+  the parity default.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from early_exit_tpu.configs import AudioConfig
+
+
+def hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(n_freqs: int, n_mels: int, sample_rate: int,
+                   f_min: float = 0.0, f_max: Optional[float] = None
+                   ) -> jax.Array:
+    """(n_freqs, n_mels) triangular HTK filterbank (torchaudio MelScale
+    semantics, norm=None)."""
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    mel_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)                       # (n_mels + 2,)
+    # triangle m: rises hz[m]..hz[m+1], falls hz[m+1]..hz[m+2]
+    f_diff = np.diff(hz_pts)                          # (n_mels + 1,)
+    slopes = hz_pts[None, :] - freqs[:, None]         # (F, n_mels + 2)
+    down = -slopes[:, :-2] / f_diff[:-1]              # rising edge
+    up = slopes[:, 2:] / f_diff[1:]                   # falling edge
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return jnp.asarray(fb.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def hann_window(win_length: int, n_fft: int) -> jax.Array:
+    """Periodic Hann of win_length, zero-padded centred to n_fft (torch
+    stft window handling)."""
+    n = np.arange(win_length)
+    w = 0.5 * (1.0 - np.cos(2.0 * math.pi * n / win_length))
+    left = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, np.float64)
+    out[left:left + win_length] = w
+    return jnp.asarray(out.astype(np.float32))
+
+
+def frame_count(n_samples: int, hop_length: int) -> int:
+    """Frames produced for a centred STFT."""
+    return 1 + n_samples // hop_length
+
+
+def spectrogram(wav: jax.Array, *, n_fft: int, win_length: int,
+                hop_length: int) -> jax.Array:
+    """(B, N) waveform -> (B, T, n_fft//2+1) power spectrogram."""
+    B, N = wav.shape
+    pad = n_fft // 2
+    x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = frame_count(N, hop_length)
+    idx = (jnp.arange(n_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])               # (T, n_fft)
+    frames = x[:, idx]                                 # (B, T, n_fft)
+    frames = frames * hann_window(win_length, n_fft)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    return (spec.real ** 2 + spec.imag ** 2)
+
+
+def mel_spectrogram(wav: jax.Array, cfg: AudioConfig, *,
+                    log_compress: bool = False) -> jax.Array:
+    """(B, N) waveform -> (B, T, n_mels) (feature-last, model-ready).
+
+    The actual FFT size is cfg.n_fft*2 — preserving the reference's quirk
+    (data_loader.py:8 passes n_fft*2 to Spectrogram while MelScale assumes
+    n_stft = n_fft+1... consistent at 1024-pt FFT / 513 bins).
+    """
+    n_fft = cfg.n_fft * 2
+    spec = spectrogram(wav, n_fft=n_fft, win_length=cfg.win_length,
+                       hop_length=cfg.hop_length)      # (B, T, F)
+    fb = mel_filterbank(n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
+    mel = jnp.einsum("btf,fm->btm", spec, fb,
+                     preferred_element_type=jnp.float32)
+    if log_compress:
+        mel = jnp.log(mel + 1e-6)
+    return mel
+
+
+def mel_lengths(sample_counts: jax.Array, hop_length: int) -> jax.Array:
+    """Valid mel-frame count per item (centred STFT)."""
+    return 1 + sample_counts // hop_length
