@@ -1,0 +1,74 @@
+"""Benchmark: early_conformer inference throughput on the local accelerator.
+
+Measures end-to-end jitted inference — raw waveform → on-device log-mel
+frontend → all 6 exits of the default early_conformer (d=256, 6×2 layers,
+ffn 2048, k=31, BPE-256 vocab) → greedy CTC decode — and reports the
+real-time factor (audio seconds processed per wall-clock second; higher is
+better; 1.0 = real time).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no performance numbers
+(BASELINE.md), so the baseline is defined as 1× real-time on the reference
+configuration (batch 8 of 10 s utterances); vs_baseline = value / 1.0.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from early_exit_tpu.configs import AudioConfig, ModelConfig
+    from early_exit_tpu.models import early_conformer
+    from early_exit_tpu.ops import ctc, frontend
+
+    acfg = AudioConfig()
+    cfg = ModelConfig()          # reference defaults, bfloat16 compute
+    params, state = early_conformer.init(jax.random.PRNGKey(0), cfg)
+
+    B, SECONDS = 8, 10.0
+    N = int(SECONDS * acfg.sample_rate)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray((0.1 * rng.randn(B, N)).astype(np.float32))
+    sample_counts = jnp.asarray([N] * B)
+
+    @jax.jit
+    def infer(params, state, wav, sample_counts):
+        feats = frontend.mel_spectrogram(wav, acfg)
+        lengths = frontend.mel_lengths(sample_counts, acfg.hop_length)
+        log_probs, sub_len, _ = early_conformer.apply(
+            params, state, feats, lengths, cfg, train=False)
+        # greedy decode the last exit (deepest head)
+        tokens, n_tokens = ctc.greedy_decode(log_probs[-1], sub_len)
+        # scalar fingerprint depending on every output: forces execution
+        # even on backends where block_until_ready doesn't block (axon
+        # relay), without timing a bulk host transfer.
+        return (jnp.sum(n_tokens) + jnp.sum(tokens)
+                + jnp.sum(log_probs[:, :, 0, 0]))
+
+    # warmup / compile
+    float(infer(params, state, wav, sample_counts))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(infer(params, state, wav, sample_counts))
+    dt = time.perf_counter() - t0
+
+    audio_seconds = iters * B * SECONDS
+    rtf_x = audio_seconds / dt
+    print(json.dumps({
+        "metric": "early_conformer_infer_rtf_x",
+        "value": round(rtf_x, 2),
+        "unit": "audio_sec/wall_sec (b8, 10s utts, all 6 exits + greedy)",
+        "vs_baseline": round(rtf_x / 1.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
