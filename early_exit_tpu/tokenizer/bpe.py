@@ -1,0 +1,182 @@
+"""SentencePiece-compatible BPE encoder/decoder (pure Python engine).
+
+Drop-in capability replacement for the `spm.SentencePieceProcessor` the
+reference loads at util/conf.py:473-482: reads the same binary `.model`
+artifact, exposes encode_as_ids / encode_as_pieces / decode / piece ids.
+A C++ engine with the same semantics lives in csrc/tokenizer (used when
+built; this module is the always-available fallback and the oracle for its
+tests).
+
+BPE merge semantics (sentencepiece bpe_model.cc behavior):
+- normalize: collapse whitespace, escape spaces to ▁ (U+2581), prepend a
+  dummy-prefix ▁ when the model says so
+- start from single characters; repeatedly merge the adjacent pair whose
+  concatenation is a vocab piece with the highest score (ties: leftmost)
+- user_defined pieces match atomically before BPE; unknown symbols map to
+  unk_id
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from early_exit_tpu.tokenizer import proto
+
+WS = "▁"   # ▁
+
+
+class SentencePieceBPE:
+    def __init__(self, model: proto.ModelData):
+        self.model = model
+        self.pieces = [p.piece for p in model.pieces]
+        self.scores = [p.score for p in model.pieces]
+        self.types = [p.type for p in model.pieces]
+        self.piece_to_id: Dict[str, int] = {
+            p: i for i, p in enumerate(self.pieces)}
+        # mergeable vocabulary: NORMAL + USER_DEFINED pieces
+        self.vocab_score: Dict[str, float] = {}
+        for i, p in enumerate(model.pieces):
+            if p.type in (proto.NORMAL, proto.USER_DEFINED):
+                self.vocab_score[p.piece] = p.score
+
+        def _find(ptype, default):
+            for i, t in enumerate(self.types):
+                if t == ptype:
+                    return i
+            return default
+
+        t = model.trainer
+        self.unk_id_: int = int(t.get("unk_id", _find(proto.UNKNOWN, 0)))
+        self.bos_id_: int = int(t.get("bos_id", _find(proto.CONTROL, -1)))
+        self.eos_id_: int = int(t.get("eos_id", -1))
+        self.pad_id_: int = int(t.get("pad_id", -1))
+        n = model.normalizer
+        self.add_dummy_prefix = bool(n.get("add_dummy_prefix", 1))
+        self.remove_extra_ws = bool(n.get("remove_extra_whitespaces", 1))
+        self.user_defined = sorted(
+            (p.piece for p in model.pieces if p.type == proto.USER_DEFINED),
+            key=len, reverse=True)
+
+    # -- SentencePieceProcessor-compatible surface ------------------------
+    def get_piece_size(self) -> int:
+        return len(self.pieces)
+
+    def piece_size(self) -> int:
+        return len(self.pieces)
+
+    def bos_id(self) -> int:
+        return self.bos_id_
+
+    def eos_id(self) -> int:
+        return self.eos_id_
+
+    def pad_id(self) -> int:
+        return self.pad_id_
+
+    def unk_id(self) -> int:
+        return self.unk_id_
+
+    def id_to_piece(self, i: int) -> str:
+        return self.pieces[i]
+
+    # -- normalization ----------------------------------------------------
+    def _normalize(self, text: str) -> str:
+        if self.remove_extra_ws:
+            text = " ".join(text.split())
+        if self.add_dummy_prefix and text:
+            text = " " + text
+        return text.replace(" ", WS)
+
+    # -- encoding ---------------------------------------------------------
+    def _split_user_defined(self, text: str) -> List[tuple[str, bool]]:
+        """Split into (chunk, is_user_defined) runs."""
+        if not self.user_defined:
+            return [(text, False)]
+        out: List[tuple[str, bool]] = []
+        i, n = 0, len(text)
+        buf = []
+        while i < n:
+            matched = None
+            for ud in self.user_defined:
+                if text.startswith(ud, i):
+                    matched = ud
+                    break
+            if matched is not None:
+                if buf:
+                    out.append(("".join(buf), False))
+                    buf = []
+                out.append((matched, True))
+                i += len(matched)
+            else:
+                buf.append(text[i])
+                i += 1
+        if buf:
+            out.append(("".join(buf), False))
+        return out
+
+    def _bpe_merge(self, chars: List[str]) -> List[str]:
+        """Greedy best-pair merging by vocab score (ties -> leftmost)."""
+        symbols = list(chars)
+        while len(symbols) > 1:
+            best_score = None
+            best_i = -1
+            for i in range(len(symbols) - 1):
+                cand = symbols[i] + symbols[i + 1]
+                s = self.vocab_score.get(cand)
+                if s is not None and (best_score is None or s > best_score):
+                    best_score = s
+                    best_i = i
+            if best_i < 0:
+                break
+            symbols[best_i:best_i + 2] = [symbols[best_i]
+                                          + symbols[best_i + 1]]
+        return symbols
+
+    def encode_as_pieces(self, text: str) -> List[str]:
+        norm = self._normalize(text)
+        pieces: List[str] = []
+        for chunk, is_ud in self._split_user_defined(norm):
+            if is_ud:
+                pieces.append(chunk)
+            else:
+                pieces.extend(self._bpe_merge(list(chunk)))
+        return pieces
+
+    def encode_as_ids(self, text: str) -> List[int]:
+        out = []
+        for p in self.encode_as_pieces(text):
+            pid = self.piece_to_id.get(p)
+            out.append(self.unk_id_ if pid is None else pid)
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        return self.encode_as_ids(text)
+
+    # -- decoding ---------------------------------------------------------
+    def decode_pieces(self, pieces: List[str]) -> str:
+        text = "".join(pieces).replace(WS, " ")
+        return text[1:] if text.startswith(" ") else text
+
+    def decode(self, ids) -> str:
+        pieces = []
+        for i in ids:
+            i = int(i)
+            if 0 <= i < len(self.pieces) and self.types[i] not in (
+                    proto.CONTROL,):
+                if self.types[i] == proto.UNKNOWN:
+                    pieces.append(" ⁇ ")   # spm renders unk as ' ⁇ '
+                else:
+                    pieces.append(self.pieces[i])
+        return self.decode_pieces(pieces)
+
+
+def load_tokenizer(model_path: str, *, prefer_native: bool = True
+                   ) -> SentencePieceBPE:
+    """Load a `.model` file; uses the C++ engine when available."""
+    if prefer_native:
+        try:
+            from early_exit_tpu.tokenizer.native import NativeBPE
+            return NativeBPE(model_path)
+        except Exception:
+            pass
+    return SentencePieceBPE(proto.parse_model(model_path))
