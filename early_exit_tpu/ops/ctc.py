@@ -107,6 +107,27 @@ def ctc_loss(log_probs: jax.Array, input_lengths: jax.Array,
 
 
 # --------------------------------------------------------------------------
+# Cross-entropy (AED decoder loss)
+# --------------------------------------------------------------------------
+
+def cross_entropy(logits: jax.Array, targets: jax.Array, *,
+                  ignore_index: int | None = None) -> jax.Array:
+    """torch.nn.CrossEntropyLoss parity (mean reduction).
+
+    logits: (..., V) raw; targets: (...) int ids. With ignore_index=None
+    every position counts — matching the reference's AED CE which does NOT
+    mask padding (train.py:47, 258: CrossEntropyLoss() on raw pad-filled
+    targets; torch's default ignore_index=-100 never matches real ids).
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if ignore_index is None:
+        return jnp.mean(nll)
+    mask = (targets != ignore_index).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+# --------------------------------------------------------------------------
 # Greedy decoding
 # --------------------------------------------------------------------------
 

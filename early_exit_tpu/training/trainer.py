@@ -59,9 +59,32 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
             "labels": (B, L), "label_lengths": (B,)}.
     Labels include BOS/EOS, as in the reference's CTC targets (train.py:61
     passes the full padded target incl. specials).
+
+    decoder_mode="aed" (full_conformer): per-exit joint loss
+    aed_ce_weight·CE(dec, shifted targets) + aed_ctc_weight·CTC(enc)
+    (train.py:36-51); decoder input = labels[:, :-1], CE target =
+    labels[:, 1:] (train.py:30-32). The CE includes PAD positions —
+    reference parity (CrossEntropyLoss() with default ignore_index).
     """
+    aed = train_cfg.decoder_mode == "aed"
 
     def loss_fn(params, model_state, batch, rng):
+        if aed:
+            trg = batch["labels"][:, :-1]
+            trg_expect = batch["labels"][:, 1:]
+            dec_logits, enc_logp, sub_len, new_state = model.apply(
+                params, model_state, batch["feats"], batch["feat_lengths"],
+                trg, model_cfg, rng=rng, train=True)
+            loss_ctc, per_exit = ctc_multi_exit_loss(
+                enc_logp, sub_len, batch["labels"], batch["label_lengths"],
+                blank=model_cfg.blank_id,
+                padded_lengths=train_cfg.ctc_compat_padded_lengths)
+            ce_per_exit = jax.vmap(
+                lambda d: ctc.cross_entropy(d, trg_expect))(dec_logits)
+            loss_ce = jnp.sum(ce_per_exit)
+            total = (train_cfg.aed_ce_weight * loss_ce
+                     + train_cfg.aed_ctc_weight * loss_ctc)
+            return total, (per_exit, new_state)
         log_probs, sub_len, new_state = model.apply(
             params, model_state, batch["feats"], batch["feat_lengths"],
             model_cfg, rng=rng, train=True)
