@@ -40,7 +40,7 @@ def mel_to_hz(m):
 @functools.lru_cache(maxsize=8)
 def mel_filterbank(n_freqs: int, n_mels: int, sample_rate: int,
                    f_min: float = 0.0, f_max: Optional[float] = None
-                   ) -> jax.Array:
+                   ) -> np.ndarray:
     """(n_freqs, n_mels) triangular HTK filterbank (torchaudio MelScale
     semantics, norm=None)."""
     if f_max is None:
@@ -54,11 +54,13 @@ def mel_filterbank(n_freqs: int, n_mels: int, sample_rate: int,
     down = -slopes[:, :-2] / f_diff[:-1]              # rising edge
     up = slopes[:, 2:] / f_diff[1:]                   # falling edge
     fb = np.maximum(0.0, np.minimum(down, up))
-    return jnp.asarray(fb.astype(np.float32))
+    # cache numpy (not jnp): a jnp value created inside a jit trace would
+    # leak a tracer through the lru_cache
+    return fb.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=8)
-def hann_window(win_length: int, n_fft: int) -> jax.Array:
+def hann_window(win_length: int, n_fft: int) -> np.ndarray:
     """Periodic Hann of win_length, zero-padded centred to n_fft (torch
     stft window handling)."""
     n = np.arange(win_length)
@@ -66,7 +68,7 @@ def hann_window(win_length: int, n_fft: int) -> jax.Array:
     left = (n_fft - win_length) // 2
     out = np.zeros(n_fft, np.float64)
     out[left:left + win_length] = w
-    return jnp.asarray(out.astype(np.float32))
+    return out.astype(np.float32)
 
 
 def frame_count(n_samples: int, hop_length: int) -> int:

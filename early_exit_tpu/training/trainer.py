@@ -37,16 +37,28 @@ def create_train_state(rng: jax.Array, model, model_cfg: ModelConfig,
 
 def ctc_multi_exit_loss(log_probs: jax.Array, sub_len: jax.Array,
                         labels: jax.Array, label_lengths: jax.Array, *,
-                        blank: int, padded_lengths: bool):
-    """Sum of per-exit torch-mean CTC losses (train.py:60-62)."""
+                        blank: int, padded_lengths: bool,
+                        item_mask: jax.Array | None = None):
+    """Sum of per-exit torch-mean CTC losses (train.py:60-62).
+
+    item_mask: optional (B,) 0/1 — rows added to reach a static bucket
+    batch size contribute nothing and the mean is over real rows only.
+    """
     E, B, Tp, V = log_probs.shape
     if padded_lengths:
         input_len = jnp.full((B,), Tp, jnp.int32)
     else:
         input_len = sub_len
+
     def per_exit(lp):
-        return ctc.ctc_loss(lp, input_len, labels, label_lengths,
-                            blank=blank)
+        nll = ctc.ctc_loss(lp, input_len, labels, label_lengths,
+                           blank=blank, reduction="none")
+        denom = jnp.maximum(label_lengths, 1).astype(jnp.float32)
+        per_item = nll / denom
+        if item_mask is None:
+            return jnp.mean(per_item)
+        return (jnp.sum(per_item * item_mask)
+                / jnp.maximum(jnp.sum(item_mask), 1.0))
     losses = jax.vmap(per_exit)(log_probs)     # (E,)
     return jnp.sum(losses), losses
 
@@ -69,6 +81,7 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
     aed = train_cfg.decoder_mode == "aed"
 
     def loss_fn(params, model_state, batch, rng):
+        item_mask = batch.get("item_mask")
         if aed:
             trg = batch["labels"][:, :-1]
             trg_expect = batch["labels"][:, 1:]
@@ -78,9 +91,19 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
             loss_ctc, per_exit = ctc_multi_exit_loss(
                 enc_logp, sub_len, batch["labels"], batch["label_lengths"],
                 blank=model_cfg.blank_id,
-                padded_lengths=train_cfg.ctc_compat_padded_lengths)
-            ce_per_exit = jax.vmap(
-                lambda d: ctc.cross_entropy(d, trg_expect))(dec_logits)
+                padded_lengths=train_cfg.ctc_compat_padded_lengths,
+                item_mask=item_mask)
+
+            def ce_one(d):
+                logp = jax.nn.log_softmax(d.astype(jnp.float32), axis=-1)
+                nll = -jnp.take_along_axis(
+                    logp, trg_expect[..., None], axis=-1)[..., 0]
+                per_item = jnp.mean(nll, axis=-1)          # (B,)
+                if item_mask is None:
+                    return jnp.mean(per_item)
+                return (jnp.sum(per_item * item_mask)
+                        / jnp.maximum(jnp.sum(item_mask), 1.0))
+            ce_per_exit = jax.vmap(ce_one)(dec_logits)
             loss_ce = jnp.sum(ce_per_exit)
             total = (train_cfg.aed_ce_weight * loss_ce
                      + train_cfg.aed_ctc_weight * loss_ctc)
@@ -91,7 +114,8 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
         total, per_exit = ctc_multi_exit_loss(
             log_probs, sub_len, batch["labels"], batch["label_lengths"],
             blank=model_cfg.blank_id,
-            padded_lengths=train_cfg.ctc_compat_padded_lengths)
+            padded_lengths=train_cfg.ctc_compat_padded_lengths,
+            item_mask=item_mask)
         return total, (per_exit, new_state)
 
     schedule = None

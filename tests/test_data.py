@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+
+from early_exit_tpu.configs import AudioConfig, TrainConfig
+from early_exit_tpu.data import bucketing, librispeech, pipeline, text
+from early_exit_tpu.tokenizer import CharTokenizer
+
+
+def test_clean_train_label():
+    assert text.clean_train_label("HELLO <unk> WORLD!") == "HELLO  WORLD"
+    assert text.clean_train_label("A [ unclear ] B") == "A  B"
+    assert text.clean_train_label("KEEP, COMMA") == "KEEP, COMMA"
+    assert text.clean_train_label("X#^$?:;.![]Y") == "XY"
+
+
+def test_clean_infer_label():
+    assert text.clean_infer_label("A, B.") == "A B"
+    assert text.clean_infer_label("x ignore_time_segment_in_scoring") is None
+
+
+def test_encode_target_char():
+    tok = CharTokenizer()
+    ids = text.encode_target("AB", tok, bpe=False)
+    assert ids[0] == 1 and ids[-1] == 31    # ^ ... $
+    assert ids[1:3] == [2, 3]               # a, b
+
+
+def test_split_equal_total():
+    sizes = [100, 90, 50, 40, 30, 20, 10, 10]
+    items = list(range(8))
+    chunks = bucketing.split_equal_total(items, sizes, 4)
+    assert sum(len(c) for c in chunks) == 8
+    # sorted desc: first chunk gets the longest items
+    assert chunks[0][0] == 0
+    totals = [sum(sizes[i] for i in c) for c in chunks]
+    assert max(totals) <= 2.5 * min(totals)
+
+
+def test_bucket_quantisation():
+    assert bucketing.bucket_batch_size(5) == 8
+    assert bucketing.bucket_batch_size(64) == 64
+    assert bucketing.bucket_frames(101) == 200
+    assert bucketing.bucket_frames(100) == 100
+    assert bucketing.bucket_labels(17) == 32
+
+
+def test_synthetic_dataset_deterministic():
+    ds = librispeech.SyntheticDataset(n_items=4, seed=3)
+    a = ds[2]
+    b = ds[2]
+    np.testing.assert_array_equal(a.waveform, b.waveform)
+    assert a.transcript == b.transcript
+    assert a.sample_rate == 16000
+    assert len(a.waveform) > 1000
+
+
+def test_pipeline_yields_model_ready_batches():
+    ds = librispeech.SyntheticDataset(n_items=16, seed=0)
+    tok = CharTokenizer()
+    acfg = AudioConfig()
+    tcfg = TrainConfig(batch_size=8, n_batch_split=2)
+    pipe = pipeline.Pipeline(ds, tok, acfg, tcfg, bpe=False, shuffle=True)
+    batches = list(pipe.epoch(0))
+    assert len(batches) >= 2
+    for b in batches:
+        B, T, F = b["feats"].shape
+        assert F == acfg.n_mels
+        assert b["labels"].shape[0] == B
+        assert b["feat_lengths"].shape == (B,)
+        assert float(b["item_mask"].sum()) <= B
+        # valid rows have sensible lengths
+        fl = np.asarray(b["feat_lengths"])
+        im = np.asarray(b["item_mask"]).astype(bool)
+        assert (fl[im] > 0).all()
+        assert (fl[im] <= T).all()
+        lb = np.asarray(b["labels"])
+        ll = np.asarray(b["label_lengths"])
+        assert (ll[im] >= 2).all()
+        # targets start with SOS on valid rows
+        assert (lb[im, 0] == 1).all()
+
+
+def test_pipeline_trains_end_to_end():
+    """Minimum end-to-end slice (SURVEY.md §7.3): tiny model on synthetic
+    audio via the full pipeline; loss decreases."""
+    import jax
+    from early_exit_tpu.configs import ModelConfig
+    from early_exit_tpu.models import early_conformer
+    from early_exit_tpu.optim import make_optimizer
+    from early_exit_tpu.training import trainer
+
+    ds = librispeech.SyntheticDataset(n_items=8, seed=1, min_words=2,
+                                      max_words=4)
+    tok = CharTokenizer()
+    acfg = AudioConfig()
+    tcfg = TrainConfig(batch_size=8, n_batch_split=1)
+    cfg = ModelConfig(d_model=32, n_heads=4, d_feed_forward=64,
+                      n_enc_exits=2, n_enc_layers_per_exit=1,
+                      depthwise_kernel_size=7, vocab_size=32, n_mels=80,
+                      compute_dtype="float32", drop_prob=0.0,
+                      pad_id=30, bos_id=1, eos_id=31)
+    pipe = pipeline.Pipeline(ds, tok, acfg, tcfg, bpe=False, shuffle=False)
+    opt = make_optimizer(cfg.d_model, warmup=20)
+    state = trainer.create_train_state(jax.random.PRNGKey(0),
+                                       early_conformer, cfg, opt)
+    step = jax.jit(trainer.make_train_step(early_conformer, cfg, tcfg, opt))
+    rng = jax.random.PRNGKey(1)
+    first = last = None
+    for epoch in range(6):
+        for batch in pipe.epoch(0):   # same data each pass (overfit)
+            state, m = step(state, batch, rng)
+            loss = float(m["loss"])
+            if first is None:
+                first = loss
+            last = loss
+    assert np.isfinite(last)
+    assert last < first
