@@ -1,0 +1,206 @@
+"""CLI flag surface — parity with util/conf.py:5-453 plus TPU-native knobs.
+
+Every reference flag keeps its name and default so invocations port
+unchanged (`--decoder_mode ctc --model_type early_conformer ...`). Fixes
+applied (documented quirks, SURVEY.md §5): float-valued flags are parsed
+as float (the reference declares e.g. --drop_prob/--clip/--aed_ce_weight
+as type=int with float defaults, util/conf.py:283-291, 263-281, 385-430,
+so passing them on the CLI would crash); bool flags accept true/false.
+
+`get_args()` mirrors the reference's post-parse enrichment
+(util/conf.py:455-486): loads the tokenizer, sets special-token ids
+(pad=126, bos=1, eos=2, blank=0 in BPE mode; char-map ids otherwise) and
+vocab sizes, and resolves lexicon/tokens paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+from early_exit_tpu.configs import AudioConfig, ModelConfig, TrainConfig
+
+
+def _bool(v: str) -> bool:
+    return str(v).lower() not in ("false", "0", "no", "")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+
+    # model architecture
+    p.add_argument("--decoder_mode", type=str.lower, required=True,
+                   choices=["ctc", "aed"],
+                   help="CTC decoder or attention encoder-decoder (AED).")
+    p.add_argument("--model_type", type=str.lower,
+                   choices=["early_conformer", "early_zipformer",
+                            "splitformer"],
+                   default="early_conformer",
+                   help="CTC-mode model family.")
+    p.add_argument("--bpe", type=_bool, default=True,
+                   help="Use SentencePiece BPE tokenization (True) or the "
+                        "legacy 32-char map (False).")
+    p.add_argument("--distill", type=_bool, default=False,
+                   help="Knowledge distillation (reserved; parity flag).")
+
+    # checkpoints
+    p.add_argument("--save_model_dir", type=str, default="/trained_model")
+    p.add_argument("--load_model_path", type=str, default=None)
+    p.add_argument("--load_model_dir", type=str, default=None)
+    p.add_argument("--avg_model_start", type=int, default=None)
+    p.add_argument("--avg_model_end", type=int, default=None)
+
+    # training schedule
+    p.add_argument("--shuffle", type=_bool, default=True)
+    p.add_argument("--n_epochs", type=int, default=10000)
+    p.add_argument("--n_threads", type=int, default=10,
+                   help="Host intra-op threads (parity flag).")
+    p.add_argument("--n_workers", type=int, default=10,
+                   help="Host data-loading workers (parity flag).")
+
+    # model dims
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--n_batch_split", type=int, default=4)
+    p.add_argument("--max_len", type=int, default=2000)
+    p.add_argument("--d_model", type=int, default=256)
+    p.add_argument("--n_enc_layers_per_exit", type=int, default=2)
+    p.add_argument("--n_enc_exits", type=int, default=6)
+    p.add_argument("--n_dec_layers", type=int, default=6)
+    p.add_argument("--n_heads", type=int, default=8)
+    p.add_argument("--d_feed_forward", type=int, default=2048)
+    p.add_argument("--aed_ce_weight", type=float, default=0.7)
+    p.add_argument("--aed_ctc_weight", type=float, default=0.3)
+    p.add_argument("--drop_prob", type=float, default=0.1)
+    p.add_argument("--depthwise_kernel_size", type=int, default=31)
+    p.add_argument("--max_utterance_length", type=int, default=360)
+
+    # assets
+    p.add_argument("--lexicon_path", type=str, default="lexicon.txt")
+    p.add_argument("--tokens_path", type=str, default="tokens.txt")
+    p.add_argument("--bpe_model_path", type=str,
+                   default="sentencepiece/build/libri.bpe-256.model",
+                   help="SentencePiece .model artifact (read natively).")
+
+    # audio frontend
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--n_fft", type=int, default=512)
+    p.add_argument("--win_length", type=int, default=320)
+    p.add_argument("--hop_length", type=int, default=160)
+    p.add_argument("--n_mels", type=int, default=80)
+
+    # optimizer
+    p.add_argument("--init_lr", type=float, default=1e-5,
+                   help="Parity flag (the reference parses but never uses "
+                        "it; Noam sets the LR).")
+    p.add_argument("--adam_eps", type=float, default=1e-9)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--warmup", type=int, default=-1)
+    p.add_argument("--clip", type=float, default=1.0)
+
+    # inference
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--pen_alpha", type=float, default=1.0)
+
+    # ---- TPU-native additions (no reference equivalent) ----
+    p.add_argument("--data_root", type=str, default=".",
+                   help="Directory containing LibriSpeech/ (data.py uses "
+                        "the working directory).")
+    p.add_argument("--train_split", type=str, default="train-clean-100")
+    p.add_argument("--synthetic_data", type=_bool, default=False,
+                   help="Use the deterministic synthetic corpus (smoke "
+                        "runs without LibriSpeech).")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--conv_norm", type=str, default="batch",
+                   choices=["batch", "group"])
+    p.add_argument("--length_mode", type=str, default="reference",
+                   choices=["reference", "true"])
+    p.add_argument("--ctc_compat_padded_lengths", type=_bool, default=True,
+                   help="Reference quirk train.py:57-58: feed the padded "
+                        "frame count as CTC input length.")
+    p.add_argument("--dp", type=int, default=None,
+                   help="Data-parallel mesh size (default: all devices).")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel mesh size.")
+    p.add_argument("--log_dir", type=str, default="runs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--decode", type=str, default="greedy",
+                   choices=["greedy", "prefix_beam", "lexicon_beam"],
+                   help="CTC decoding strategy at inference.")
+    p.add_argument("--exit_threshold", type=float, default=None,
+                   help="Confidence-gated dynamic early exit: stop at the "
+                        "first exit whose mean max-prob exceeds this "
+                        "(beyond-reference feature).")
+    return p
+
+
+def load_tokenizer_from_args(args):
+    if args.bpe:
+        from early_exit_tpu.tokenizer import load_tokenizer
+        path = args.bpe_model_path
+        if not os.path.exists(path):
+            ref = ("/root/reference/sentencepiece/build/"
+                   "libri.bpe-256.model")
+            if os.path.exists(ref):
+                path = ref
+            else:
+                raise FileNotFoundError(
+                    f"BPE model not found: {args.bpe_model_path}")
+        return load_tokenizer(path)
+    from early_exit_tpu.tokenizer import CharTokenizer
+    return CharTokenizer()
+
+
+def get_args(argv=None):
+    """Returns (args, model_cfg, train_cfg, audio_cfg, tokenizer)."""
+    args = get_parser().parse_args(argv)
+    tokenizer = load_tokenizer_from_args(args)
+
+    if args.bpe:
+        vocab = tokenizer.get_piece_size()
+        blank_id, pad_id = 0, 126
+        bos_id, eos_id = 1, 2
+        lexicon = os.path.join(os.path.dirname(args.bpe_model_path)
+                               or ".", "librispeech-bpe-256.lex")
+        tokens = os.path.join(os.path.dirname(args.bpe_model_path)
+                              or ".", "librispeech-bpe-256.tok")
+    else:
+        vocab = 32
+        blank_id, pad_id, bos_id, eos_id = 0, 30, 1, 31
+        lexicon, tokens = args.lexicon_path, args.tokens_path
+    args.lexicon = lexicon
+    args.tokens = tokens
+
+    model_type = (args.model_type if args.decoder_mode == "ctc"
+                  else "full_conformer")
+    model_cfg = ModelConfig(
+        model_type=model_type,
+        d_model=args.d_model, n_heads=args.n_heads,
+        d_feed_forward=args.d_feed_forward,
+        n_enc_exits=args.n_enc_exits,
+        n_enc_layers_per_exit=args.n_enc_layers_per_exit,
+        n_dec_layers=args.n_dec_layers,
+        depthwise_kernel_size=args.depthwise_kernel_size,
+        drop_prob=args.drop_prob, max_len=args.max_len,
+        n_mels=args.n_mels, vocab_size=vocab, blank_id=blank_id,
+        pad_id=pad_id, bos_id=bos_id, eos_id=eos_id,
+        compute_dtype=args.compute_dtype, conv_norm=args.conv_norm,
+        length_mode=args.length_mode)
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, n_batch_split=args.n_batch_split,
+        n_epochs=args.n_epochs, warmup=args.warmup,
+        adam_eps=args.adam_eps, weight_decay=args.weight_decay,
+        clip=args.clip, max_utterance_length=args.max_utterance_length,
+        decoder_mode=args.decoder_mode,
+        aed_ce_weight=args.aed_ce_weight,
+        aed_ctc_weight=args.aed_ctc_weight,
+        ctc_compat_padded_lengths=args.ctc_compat_padded_lengths,
+        seed=args.seed)
+    audio_cfg = AudioConfig(
+        sample_rate=args.sample_rate, n_fft=args.n_fft,
+        win_length=args.win_length, hop_length=args.hop_length,
+        n_mels=args.n_mels)
+    return args, model_cfg, train_cfg, audio_cfg, tokenizer

@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Inference CLI — same surface as the reference inference.py.
+
+    python inference.py --decoder_mode ctc --load_model_path ...
+
+Per split (test-clean, test-other; inference.py:225): decode EVERY exit of
+every utterance, print `EXPECTED:` / `BEAM_OUT_n:` transcript pairs
+(inference.py:30-34, 76-80) with lexicon correction (apply_lex), and —
+beyond the reference, which scores offline — report per-exit WER
+in-framework.
+
+CTC mode: one batched forward computes all exits (inference.py:66), then
+each exit is decoded (greedy or prefix beam). AED mode: per utterance and
+exit, encoder to that exit + beam search with the reference's max-length
+heuristic (inference.py:36-41), KV-cached.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+if os.environ.get("EET_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["EET_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from early_exit_tpu.cli import get_args
+from early_exit_tpu.data.librispeech import (LibriSpeechDataset,
+                                             SyntheticDataset)
+from early_exit_tpu.data.pipeline import Pipeline
+from early_exit_tpu.decoding import aed_beam
+from early_exit_tpu.decoding.lexicon import LexiconCorrector, load_dict
+from early_exit_tpu.models.registry import build_model
+from early_exit_tpu.ops import ctc as ctc_ops
+from early_exit_tpu.training import checkpoint, trainer
+from early_exit_tpu.utils import WerAccumulator, count_parameters
+
+
+def _load_lexicon(args):
+    for cand in ("librispeech.lex",
+                 "/root/reference/librispeech.lex"):
+        if os.path.exists(cand):
+            return LexiconCorrector(load_dict(cand))
+    print("warning: librispeech.lex not found; lexicon correction off")
+    return None
+
+
+def _aed_max_lengths(n_frames: int):
+    """Reference heuristic (inference.py:20-41): m=5/200, p=30."""
+    if n_frames < 200:
+        max_len = int(30 - n_frames * (5 / 200.0))
+    else:
+        max_len = int(n_frames / 12)
+    max_len = max(max_len, 4)
+    min_len = int(max_len * 0.6)
+    return max_len, min_len
+
+
+def _bucket(n: int, g: int = 8) -> int:
+    return ((n + g - 1) // g) * g
+
+
+def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
+    fwd = jax.jit(trainer.make_eval_forward(model, model_cfg))
+    decode = jax.jit(lambda lp, l: ctc_ops.greedy_decode(lp, l))
+    wers = [WerAccumulator() for _ in range(model_cfg.n_enc_exits)]
+    for batch in pipe.epoch(0):
+        logp, sub_len = fwd(state["params"], state["model_state"],
+                            batch["feats"], batch["feat_lengths"])
+        mask = np.asarray(batch["item_mask"]).astype(bool)
+        labels = np.asarray(batch["labels"])
+        lab_len = np.asarray(batch["label_lengths"])
+        refs = []
+        for b in range(labels.shape[0]):
+            if not mask[b]:
+                refs.append(None)
+                continue
+            ref = tokenizer.decode(
+                [int(t) for t in labels[b][1:lab_len[b]]]).lower()
+            print(split, "EXPECTED:", ref)
+            refs.append(ref)
+        for e in range(logp.shape[0]):
+            toks, n = decode(logp[e], sub_len)
+            toks, n = np.asarray(toks), np.asarray(n)
+            for b in range(toks.shape[0]):
+                if not mask[b]:
+                    continue
+                hyp = tokenizer.decode(
+                    [int(t) for t in toks[b][:n[b]]]).lower()
+                if lex is not None:
+                    hyp = lex.apply(hyp)
+                print(split, "BEAM_OUT_", e + 1, ":", hyp)
+                wers[e].add(refs[b], hyp)
+    for e, acc in enumerate(wers):
+        print(f"{split} WER exit {e + 1}: {100 * acc.value:.2f}% "
+              f"({acc.utterances} utts)")
+
+
+def run_aed(model, model_cfg, state, pipe, split, tokenizer, lex, args):
+    from early_exit_tpu.models import full_conformer
+    wers = [WerAccumulator() for _ in range(model_cfg.n_enc_exits)]
+    for batch in pipe.epoch(0):
+        mask = np.asarray(batch["item_mask"]).astype(bool)
+        labels = np.asarray(batch["labels"])
+        lab_len = np.asarray(batch["label_lengths"])
+        feats = batch["feats"]
+        flens = batch["feat_lengths"]
+        for b in range(labels.shape[0]):
+            if not mask[b]:
+                continue
+            ref = tokenizer.decode(
+                [int(t) for t in labels[b][1:lab_len[b]]]).lower()
+            print(split, "EXPECTED:", ref)
+            n_frames = int(flens[b])
+            max_len, min_len = _aed_max_lengths(n_frames)
+            max_len = _bucket(max_len)
+            for n in range(1, model_cfg.n_enc_exits + 1):
+                mem, _ = full_conformer.encode_exit(
+                    state["params"], state["model_state"],
+                    feats[b:b + 1], flens[b:b + 1], model_cfg, n)
+                toks, lens, scores, best = aed_beam.beam_search_exit(
+                    state["params"], mem, model_cfg, n_exit=n,
+                    beam_size=args.beam_size, max_length=max_len,
+                    min_length=min_len, pen_alpha=args.pen_alpha)
+                ids = aed_beam.trim_hypothesis(
+                    np.asarray(toks[best]), int(lens[best]),
+                    eos_id=model_cfg.eos_id, bos_id=model_cfg.bos_id)
+                hyp = tokenizer.decode(ids).lower()
+                if lex is not None:
+                    hyp = lex.apply(hyp)
+                print(split, "BEAM_OUT_", n, ":", hyp)
+                wers[n - 1].add(ref, hyp)
+    for e, acc in enumerate(wers):
+        print(f"{split} WER exit {e + 1}: {100 * acc.value:.2f}% "
+              f"({acc.utterances} utts)")
+
+
+def main(argv=None):
+    args, model_cfg, train_cfg, audio_cfg, tokenizer = get_args(argv)
+    model = build_model(model_cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    params, model_state = model.init(rng, model_cfg)
+
+    if args.load_model_path is not None:
+        params, model_state = checkpoint.load_model_file(
+            args.load_model_path, params, model_state)
+    elif None not in (args.load_model_dir, args.avg_model_start,
+                      args.avg_model_end):
+        params, model_state = checkpoint.avg_models(
+            args.load_model_dir, args.avg_model_start, args.avg_model_end,
+            params, model_state)
+    else:
+        raise ValueError(
+            "Invalid model loading config. Use either --load_model_path "
+            "for a single model or --load_model_dir/--avg_model_start/"
+            "--avg_model_end for an average of models.")
+
+    state = {"params": params, "model_state": model_state}
+    print(f"The model has {count_parameters(params):,} trainable parameters")
+    lex = _load_lexicon(args)
+
+    splits = (["synthetic"] if args.synthetic_data
+              else ["test-clean", "test-other"])
+    for split in splits:
+        print(split)
+        if args.synthetic_data:
+            ds = SyntheticDataset(n_items=max(args.batch_size, 8),
+                                  seed=args.seed + 7)
+        else:
+            try:
+                ds = LibriSpeechDataset(args.data_root, split)
+            except FileNotFoundError:
+                sys.exit("Invalid data split")
+        pipe = Pipeline(ds, tokenizer, audio_cfg, train_cfg, bpe=args.bpe,
+                        shuffle=False, infer_mode=True)
+        if args.decoder_mode == "ctc":
+            run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex,
+                    args)
+        else:
+            run_aed(model, model_cfg, state, pipe, split, tokenizer, lex,
+                    args)
+
+
+if __name__ == "__main__":
+    main()
