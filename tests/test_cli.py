@@ -1,0 +1,55 @@
+"""End-to-end CLI smoke: tiny synthetic train run, checkpoint, averaged
+inference — exercising the same surface as the reference CLIs."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_FLAGS = [
+    "--synthetic_data", "true", "--bpe", "false",
+    "--batch_size", "8", "--n_batch_split", "1",
+    "--d_model", "16", "--n_heads", "2", "--d_feed_forward", "32",
+    "--n_enc_exits", "2", "--n_enc_layers_per_exit", "1",
+    "--depthwise_kernel_size", "3", "--drop_prob", "0.0",
+    "--compute_dtype", "float32",
+]
+
+
+def _run(args, cwd):
+    env = dict(os.environ, EET_PLATFORM="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=420)
+
+
+@pytest.mark.slow
+def test_train_then_infer(tmp_path):
+    r = _run([os.path.join(REPO, "train.py"), "--decoder_mode", "ctc",
+              "--model_type", "early_conformer", "--n_epochs", "1",
+              "--warmup", "20", "--save_model_dir", "trained_model",
+              *TINY_FLAGS], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "LOSS_TOTAL-0" in r.stdout
+    assert os.path.exists(tmp_path / "trained_model" / "mod000-transformer")
+    assert os.path.exists(tmp_path / "runs" / "metrics.jsonl")
+
+    r2 = _run([os.path.join(REPO, "inference.py"), "--decoder_mode", "ctc",
+               "--model_type", "early_conformer",
+               "--load_model_path",
+               str(tmp_path / "trained_model" / "mod000-transformer"),
+               *TINY_FLAGS], str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "EXPECTED:" in r2.stdout
+    assert "BEAM_OUT_ 1" in r2.stdout
+    assert "WER exit 1" in r2.stdout
+
+
+def test_inference_requires_checkpoint(tmp_path):
+    r = _run([os.path.join(REPO, "inference.py"), "--decoder_mode", "ctc",
+              *TINY_FLAGS], str(tmp_path))
+    assert r.returncode != 0
+    assert "Invalid model loading config" in (r.stderr + r.stdout)
