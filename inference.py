@@ -66,7 +66,18 @@ def _bucket(n: int, g: int = 8) -> int:
 
 def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
     fwd = jax.jit(trainer.make_eval_forward(model, model_cfg))
-    decode = jax.jit(lambda lp, l: ctc_ops.greedy_decode(lp, l))
+    if args.decode == "prefix_beam":
+        from early_exit_tpu.decoding import prefix_beam
+
+        @jax.jit
+        def decode(lp, l):
+            toks, n, _ = prefix_beam.prefix_beam_search(
+                lp, l, beam_size=args.beam_size,
+                blank=model_cfg.blank_id, blank_skip_threshold=0.95)
+            return toks, n
+    else:
+        decode = jax.jit(lambda lp, l: ctc_ops.greedy_decode(
+            lp, l, blank=model_cfg.blank_id))
     wers = [WerAccumulator() for _ in range(model_cfg.n_enc_exits)]
     for batch in pipe.epoch(0):
         logp, sub_len = fwd(state["params"], state["model_state"],
