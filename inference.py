@@ -64,6 +64,44 @@ def _bucket(n: int, g: int = 8) -> int:
     return ((n + g - 1) // g) * g
 
 
+def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
+    """Confidence-gated dynamic early exit (--exit_threshold): each batch
+    stops at the first exit whose confidence clears the threshold."""
+    from early_exit_tpu.models import early_exit_gate
+    thr = float(args.exit_threshold)
+    gated = jax.jit(lambda p, s, f, l: early_exit_gate.gated_apply(
+        p, s, f, l, model_cfg, threshold=thr))
+    decode = jax.jit(lambda lp, l: ctc_ops.greedy_decode(
+        lp, l, blank=model_cfg.blank_id))
+    acc = WerAccumulator()
+    exits_run = []
+    for batch in pipe.epoch(0):
+        lp, chosen, sub_len, n_run = gated(
+            state["params"], state["model_state"], batch["feats"],
+            batch["feat_lengths"])
+        exits_run.append(int(n_run))
+        toks, n = decode(lp, sub_len)
+        mask = np.asarray(batch["item_mask"]).astype(bool)
+        labels = np.asarray(batch["labels"])
+        lab_len = np.asarray(batch["label_lengths"])
+        toks, n = np.asarray(toks), np.asarray(n)
+        for b in range(labels.shape[0]):
+            if not mask[b]:
+                continue
+            ref = tokenizer.decode(
+                [int(t) for t in labels[b][1:lab_len[b]]]).lower()
+            hyp = tokenizer.decode(
+                [int(t) for t in toks[b][:n[b]]]).lower()
+            if lex is not None:
+                hyp = lex.apply(hyp)
+            print(split, "EXPECTED:", ref)
+            print(split, f"GATED_OUT (exit {int(chosen[b])}):", hyp)
+            acc.add(ref, hyp)
+    print(f"{split} gated WER: {100 * acc.value:.2f}% "
+          f"(mean exits run {np.mean(exits_run):.2f}/"
+          f"{model_cfg.n_enc_exits})")
+
+
 def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
     fwd = jax.jit(trainer.make_eval_forward(model, model_cfg))
     if args.decode == "prefix_beam":
@@ -189,8 +227,12 @@ def main(argv=None):
         pipe = Pipeline(ds, tokenizer, audio_cfg, train_cfg, bpe=args.bpe,
                         shuffle=False, infer_mode=True)
         if args.decoder_mode == "ctc":
-            run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex,
-                    args)
+            if args.exit_threshold is not None:
+                run_ctc_gated(model_cfg, state, pipe, split, tokenizer,
+                              lex, args)
+            else:
+                run_ctc(model, model_cfg, state, pipe, split, tokenizer,
+                        lex, args)
         else:
             run_aed(model, model_cfg, state, pipe, split, tokenizer, lex,
                     args)
