@@ -1,0 +1,92 @@
+"""Native library loader: builds csrc/ into one shared object on demand.
+
+The reference's native surface (vendored SentencePiece C++, flashlight /
+CUDA decoders, torchaudio C++ ops) maps here to `libeet_native.so`,
+compiled from csrc/ with the system toolchain and loaded via ctypes (no
+pybind11 in the image). Build is lazy + cached by source mtimes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import glob
+import os
+import subprocess
+import threading
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CSRC = os.path.join(_REPO, "csrc")
+_BUILD_DIR = os.path.join(_REPO, "build")
+_LIB = os.path.join(_BUILD_DIR, "libeet_native.so")
+_LOCK = threading.Lock()
+_CACHED = None
+
+
+def _sources():
+    return sorted(glob.glob(os.path.join(_CSRC, "**", "*.cc"),
+                            recursive=True))
+
+
+def _stale() -> bool:
+    if not os.path.exists(_LIB):
+        return True
+    lib_mtime = os.path.getmtime(_LIB)
+    return any(os.path.getmtime(s) > lib_mtime for s in _sources())
+
+
+def build(verbose: bool = False) -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    srcs = _sources()
+    if not srcs:
+        raise RuntimeError(f"no C++ sources under {_CSRC}")
+    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _LIB,
+           *srcs]
+    if verbose:
+        print("building native lib:", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=not verbose)
+    return _LIB
+
+
+def get_lib() -> ctypes.CDLL:
+    """Returns the loaded native library, building it if missing/stale."""
+    global _CACHED
+    with _LOCK:
+        if _CACHED is not None and not _stale():
+            return _CACHED
+        if _stale():
+            build()
+        lib = ctypes.CDLL(_LIB)
+        _configure(lib)
+        _CACHED = lib
+        return lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    lib.eet_bpe_load.restype = c.c_void_p
+    lib.eet_bpe_load.argtypes = [c.c_char_p]
+    lib.eet_bpe_free.argtypes = [c.c_void_p]
+    lib.eet_bpe_piece_size.restype = c.c_int
+    lib.eet_bpe_piece_size.argtypes = [c.c_void_p]
+    lib.eet_bpe_special.restype = c.c_int
+    lib.eet_bpe_special.argtypes = [c.c_void_p, c.c_int]
+    lib.eet_bpe_piece_type.restype = c.c_int
+    lib.eet_bpe_piece_type.argtypes = [c.c_void_p, c.c_int]
+    lib.eet_bpe_id_to_piece.restype = c.c_int
+    lib.eet_bpe_id_to_piece.argtypes = [c.c_void_p, c.c_int, c.c_char_p,
+                                        c.c_int]
+    lib.eet_bpe_encode.restype = c.c_int
+    lib.eet_bpe_encode.argtypes = [c.c_void_p, c.c_char_p,
+                                   c.POINTER(c.c_int), c.c_int]
+    lib.eet_bpe_decode.restype = c.c_int
+    lib.eet_bpe_decode.argtypes = [c.c_void_p, c.POINTER(c.c_int), c.c_int,
+                                   c.c_char_p, c.c_int]
+
+    lib.eet_lex_create.restype = c.c_void_p
+    lib.eet_lex_free.argtypes = [c.c_void_p]
+    lib.eet_lex_add.argtypes = [c.c_void_p, c.c_char_p]
+    lib.eet_lex_contains.restype = c.c_int
+    lib.eet_lex_contains.argtypes = [c.c_void_p, c.c_char_p]
+    lib.eet_lex_closest.restype = c.c_int
+    lib.eet_lex_closest.argtypes = [c.c_void_p, c.c_char_p, c.c_char_p,
+                                    c.c_int]
