@@ -90,3 +90,14 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.eet_lex_closest.restype = c.c_int
     lib.eet_lex_closest.argtypes = [c.c_void_p, c.c_char_p, c.c_char_p,
                                     c.c_int]
+
+    lib.eet_flac_decode.restype = c.c_void_p
+    lib.eet_flac_decode.argtypes = [c.c_char_p]
+    lib.eet_flac_num_samples.restype = c.c_long
+    lib.eet_flac_num_samples.argtypes = [c.c_void_p]
+    lib.eet_flac_sample_rate.restype = c.c_int
+    lib.eet_flac_sample_rate.argtypes = [c.c_void_p]
+    lib.eet_flac_channels.restype = c.c_int
+    lib.eet_flac_channels.argtypes = [c.c_void_p]
+    lib.eet_flac_copy.argtypes = [c.c_void_p, c.POINTER(c.c_int32)]
+    lib.eet_flac_free.argtypes = [c.c_void_p]
