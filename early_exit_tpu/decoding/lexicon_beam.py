@@ -1,0 +1,116 @@
+"""Lexicon-constrained CTC beam search (native) — python surface.
+
+Capability parity with the reference's flashlight `ctc_decoder` bank
+(util/beam_infer.py:51-75: lexicon + tokens files, nbest=1, beam_size,
+word_score, blank '@'): hypotheses are constrained to lexicon word
+sequences via a token trie; the decode returns the best word string, like
+`" ".join(result[0][0].words)` (beam_infer.py:97-99).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from early_exit_tpu import _native
+
+
+class LexiconBeamDecoder:
+    def __init__(self, entries: Sequence[Tuple[str, Sequence[int]]],
+                 vocab_size: int, *, blank: int = 0,
+                 beam_size: int = 10, word_score: float = 0.0,
+                 beam_threshold: float = 50.0):
+        """entries: (word, token-id sequence) pairs."""
+        self._lib = _native.get_lib()
+        self._configure()
+        self._h = self._lib.eet_trie_create(vocab_size)
+        self.words: List[str] = []
+        for word, toks in entries:
+            arr = (ctypes.c_int * len(toks))(*[int(t) for t in toks])
+            self._lib.eet_trie_add_word(self._h, arr, len(toks),
+                                        len(self.words))
+            self.words.append(word)
+        self.vocab_size = vocab_size
+        self.blank = blank
+        self.beam_size = beam_size
+        self.word_score = word_score
+        self.beam_threshold = beam_threshold
+
+    def _configure(self):
+        c = ctypes
+        lib = self._lib
+        if getattr(lib, "_trie_configured", False):
+            return
+        lib.eet_trie_create.restype = c.c_void_p
+        lib.eet_trie_create.argtypes = [c.c_int]
+        lib.eet_trie_free.argtypes = [c.c_void_p]
+        lib.eet_trie_add_word.argtypes = [c.c_void_p, c.POINTER(c.c_int),
+                                          c.c_int, c.c_int]
+        lib.eet_trie_num_nodes.restype = c.c_long
+        lib.eet_trie_num_nodes.argtypes = [c.c_void_p]
+        lib.eet_trie_decode.restype = c.c_int
+        lib.eet_trie_decode.argtypes = [
+            c.c_void_p, c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int,
+            c.c_float, c.c_int, c.c_float, c.POINTER(c.c_int), c.c_int,
+            c.POINTER(c.c_float)]
+        lib._trie_configured = True
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.eet_trie_free(self._h)
+        except Exception:
+            pass
+
+    @classmethod
+    def from_files(cls, lexicon_path: str, tokens_path: str, *,
+                   blank_token: str = "@", **kw) -> "LexiconBeamDecoder":
+        """Build from the reference's artifact formats: a `.tok` file
+        (one piece per line, line index = token id) and a `.lex` file
+        (`word<TAB>piece piece ...`), e.g.
+        sentencepiece/build/librispeech-bpe-256.{tok,lex}."""
+        with open(tokens_path, encoding="utf-8") as f:
+            tokens = [l.rstrip("\n") for l in f]
+        piece_to_id = {p: i for i, p in enumerate(tokens)}
+        entries = []
+        with open(lexicon_path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                word, _, pieces = line.partition("\t")
+                ids = [piece_to_id[p] for p in pieces.split(" ")
+                       if p in piece_to_id]
+                if ids:
+                    entries.append((word, ids))
+        blank = piece_to_id.get(blank_token, 0)
+        return cls(entries, len(tokens), blank=blank, **kw)
+
+    def decode(self, log_probs: np.ndarray) -> Tuple[str, float]:
+        """log_probs: (T, V) -> (transcript, score)."""
+        lp = np.ascontiguousarray(log_probs, np.float32)
+        T, V = lp.shape
+        assert V == self.vocab_size, (V, self.vocab_size)
+        out = (ctypes.c_int * 512)()
+        score = ctypes.c_float()
+        n = self._lib.eet_trie_decode(
+            self._h, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            T, V, self.blank, self.word_score, self.beam_size,
+            self.beam_threshold, out, len(out), ctypes.byref(score))
+        if n < 0:
+            return "", float("-inf")
+        return " ".join(self.words[out[i]] for i in range(n)), score.value
+
+    def decode_batch(self, log_probs: np.ndarray,
+                     lengths=None) -> List[str]:
+        """(B, T, V) -> transcripts; parity with ctc_predict_'s list
+        output (beam_infer.py:93-99)."""
+        outs = []
+        for b in range(log_probs.shape[0]):
+            lp = log_probs[b]
+            if lengths is not None:
+                lp = lp[:int(lengths[b])]
+            outs.append(self.decode(lp)[0])
+        return outs
