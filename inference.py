@@ -104,6 +104,23 @@ def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
 
 def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
     fwd = jax.jit(trainer.make_eval_forward(model, model_cfg))
+    trie_dec = None
+    if args.decode == "lexicon_beam":
+        from early_exit_tpu.decoding.lexicon_beam import LexiconBeamDecoder
+        tok_path, lex_path = args.tokens, args.lexicon
+        for cand_tok, cand_lex in (
+                (tok_path, lex_path),
+                ("/root/reference/sentencepiece/build/"
+                 "librispeech-bpe-256.tok",
+                 "/root/reference/sentencepiece/build/"
+                 "librispeech-bpe-256.lex")):
+            if os.path.exists(cand_tok) and os.path.exists(cand_lex):
+                trie_dec = LexiconBeamDecoder.from_files(
+                    cand_lex, cand_tok, beam_size=args.beam_size)
+                break
+        if trie_dec is None:
+            sys.exit(f"lexicon_beam: tokens/lexicon not found "
+                     f"({tok_path}, {lex_path})")
     if args.decode == "prefix_beam":
         from early_exit_tpu.decoding import prefix_beam
 
@@ -133,6 +150,16 @@ def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
             print(split, "EXPECTED:", ref)
             refs.append(ref)
         for e in range(logp.shape[0]):
+            if trie_dec is not None:
+                # lexicon-trie beam: output is already lexicon-constrained
+                hyps = trie_dec.decode_batch(np.asarray(logp[e]),
+                                             np.asarray(sub_len))
+                for b, hyp in enumerate(hyps):
+                    if not mask[b]:
+                        continue
+                    print(split, "BEAM_OUT_", e + 1, ":", hyp)
+                    wers[e].add(refs[b], hyp)
+                continue
             toks, n = decode(logp[e], sub_len)
             toks, n = np.asarray(toks), np.asarray(n)
             for b in range(toks.shape[0]):
