@@ -121,8 +121,33 @@ def main(argv=None):
         moddir = os.path.join(os.getcwd(), moddir.lstrip("/"))
     os.makedirs(moddir, exist_ok=True)
 
+    # auto-resume: pick up the newest epoch checkpoint (incl. optimizer
+    # state + schedule step) — replaces the reference's vestigial resume
+    # that could never fire (train.py:97-111, hardcoded nepoch=-1)
+    start_epoch = 0
+    latest = checkpoint.latest_epoch(moddir)
+    if (latest is not None and args.load_model_path is None
+            and args.load_model_dir is None):
+        p, ms = checkpoint.load_epoch(moddir, latest, state["params"],
+                                      state["model_state"])
+        opt_path = checkpoint.opt_ckpt_path(moddir, latest)
+        if os.path.exists(opt_path):
+            tree = checkpoint.load_pytree(
+                {"opt_state": state["opt_state"], "step": state["step"]},
+                opt_path)
+            state = {"params": p, "model_state": ms,
+                     "opt_state": tree["opt_state"],
+                     "step": tree["step"]}
+        else:
+            state = {"params": p, "model_state": ms,
+                     "opt_state": state["opt_state"],
+                     "step": state["step"]}
+        start_epoch = latest + 1
+        print(f"auto-resume from epoch {latest} "
+              f"(step {int(state['step'])})")
+
     best_loss = float("inf")
-    for epoch in range(train_cfg.n_epochs):
+    for epoch in range(start_epoch, train_cfg.n_epochs):
         t0 = time.time()
         epoch_loss, n_batches = 0.0, 0
         for i, batch in enumerate(pipe.epoch(epoch)):
