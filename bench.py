@@ -22,6 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     from early_exit_tpu.configs import AudioConfig, ModelConfig
     from early_exit_tpu.models import early_conformer
@@ -54,11 +60,19 @@ def main():
     # warmup / compile
     float(infer(params, state, wav, sample_counts))
 
-    iters = 20
+    # measure the host<->device round-trip so it can be amortised out
+    # (under the axon relay a single scalar fetch costs ~25 ms)
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    float(tiny(sample_counts))
+    rt = min(_timed(lambda: float(tiny(sample_counts)))
+             for _ in range(5))
+
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(infer(params, state, wav, sample_counts))
-    dt = time.perf_counter() - t0
+        out = infer(params, state, wav, sample_counts)
+    float(out)   # one sync: the device stream ran all queued programs
+    dt = max(time.perf_counter() - t0 - rt, 1e-6)
 
     audio_seconds = iters * B * SECONDS
     rtf_x = audio_seconds / dt

@@ -1,0 +1,307 @@
+// BPE trainer — spm_train-equivalent for model_type=bpe.
+//
+// The reference's BPE artifacts were produced with the vendored
+// SentencePiece trainer (sentencepiece/build/commands:1: spm_train
+// --vocab_size=... --model_type=bpe --character_coverage=1.0
+// --pad_id --unk_id --bos_id --eos_id --user_defined_symbols="@").
+// This is our native trainer with the same surface: it learns merges by
+// iterative most-frequent-pair counting over whitespace-pretokenized,
+// ▁-escaped text and serialises a `.model` protobuf that our own
+// runtime engine (bpe_tokenizer.cc) and the reference's artifacts share.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+const char* kWs = "\xe2\x96\x81";
+
+size_t utf8_len(uint8_t b) {
+  if (b < 0x80) return 1;
+  if ((b >> 5) == 0x6) return 2;
+  if ((b >> 4) == 0xe) return 3;
+  if ((b >> 3) == 0x1e) return 4;
+  return 1;
+}
+
+std::vector<std::string> to_chars(const std::string& s) {
+  std::vector<std::string> out;
+  size_t i = 0;
+  while (i < s.size()) {
+    size_t n = utf8_len(uint8_t(s[i]));
+    if (i + n > s.size()) n = 1;
+    out.push_back(s.substr(i, n));
+    i += n;
+  }
+  return out;
+}
+
+// ------------------------------------------------------------- protobuf ---
+struct ProtoWriter {
+  std::string buf;
+  void varint(uint64_t v) {
+    while (v >= 0x80) {
+      buf.push_back(char((v & 0x7f) | 0x80));
+      v >>= 7;
+    }
+    buf.push_back(char(v));
+  }
+  void key(int field, int wtype) { varint(uint64_t(field) << 3 | wtype); }
+  void str(int field, const std::string& s) {
+    key(field, 2);
+    varint(s.size());
+    buf += s;
+  }
+  void f32(int field, float f) {
+    key(field, 5);
+    char tmp[4];
+    memcpy(tmp, &f, 4);
+    buf.append(tmp, 4);
+  }
+  void u64(int field, uint64_t v) {
+    key(field, 0);
+    varint(v);
+  }
+};
+
+struct TrainedPiece {
+  std::string piece;
+  float score;
+  int type;  // 1 normal, 2 unk, 3 control, 4 user_defined
+};
+
+std::string serialize_model(const std::vector<TrainedPiece>& pieces,
+                            int unk_id, int bos_id, int eos_id,
+                            int pad_id, int vocab_size) {
+  ProtoWriter model;
+  for (const auto& p : pieces) {
+    ProtoWriter sp;
+    sp.str(1, p.piece);
+    sp.f32(2, p.score);
+    if (p.type != 1) sp.u64(3, uint64_t(p.type));
+    model.str(1, sp.buf);
+  }
+  ProtoWriter trainer;
+  trainer.u64(3, 2);                     // model_type = BPE
+  trainer.u64(4, uint64_t(vocab_size));
+  trainer.u64(40, uint64_t(unk_id));
+  trainer.u64(41, uint64_t(bos_id < 0 ? 0xffffffffffffffffull : bos_id));
+  trainer.u64(42, uint64_t(eos_id < 0 ? 0xffffffffffffffffull : eos_id));
+  trainer.u64(43, uint64_t(pad_id < 0 ? 0xffffffffffffffffull : pad_id));
+  model.str(2, trainer.buf);
+  ProtoWriter norm;
+  norm.str(1, "identity");
+  norm.u64(3, 1);                        // add_dummy_prefix
+  norm.u64(4, 1);                        // remove_extra_whitespaces
+  norm.u64(5, 1);                        // escape_whitespaces
+  model.str(3, norm.buf);
+  return model.buf;
+}
+
+// --------------------------------------------------------------- trainer ---
+struct Trainer {
+  int vocab_size = 256;
+  int unk_id = 0, bos_id = 1, eos_id = 2, pad_id = -1;
+  std::vector<std::string> user_defined;
+  // word (sequence of symbol ids) -> frequency
+  std::vector<std::vector<int>> words;
+  std::vector<int64_t> freqs;
+  std::vector<std::string> symbols;        // id -> surface
+  std::unordered_map<std::string, int> sym_id;
+
+  int intern(const std::string& s) {
+    auto it = sym_id.find(s);
+    if (it != sym_id.end()) return it->second;
+    sym_id.emplace(s, int(symbols.size()));
+    symbols.push_back(s);
+    return int(symbols.size()) - 1;
+  }
+
+  void add_sentence(const std::string& line) {
+    // normalize: collapse whitespace; split into ▁-prefixed words
+    std::istringstream iss(line);
+    std::string w;
+    while (iss >> w) {
+      std::string word = std::string(kWs) + w;
+      std::vector<int> ids;
+      for (const auto& c : to_chars(word)) ids.push_back(intern(c));
+      // merge identical words
+      words.push_back(std::move(ids));
+      freqs.push_back(1);
+    }
+  }
+
+  void dedup_words() {
+    std::map<std::vector<int>, int64_t> uniq;
+    for (size_t i = 0; i < words.size(); ++i) uniq[words[i]] += freqs[i];
+    words.clear();
+    freqs.clear();
+    for (auto& kv : uniq) {
+      words.push_back(kv.first);
+      freqs.push_back(kv.second);
+    }
+  }
+
+  std::vector<TrainedPiece> train() {
+    dedup_words();
+    // character frequencies (always in the vocab, char coverage 1.0)
+    std::vector<int64_t> char_freq(symbols.size(), 0);
+    for (size_t i = 0; i < words.size(); ++i)
+      for (int id : words[i]) char_freq[id] += freqs[i];
+
+    int n_special = 1 /*unk*/ + (bos_id >= 0) + (eos_id >= 0) +
+                    (pad_id >= 0) + int(user_defined.size());
+    int n_alphabet = int(symbols.size());
+    int n_merges = vocab_size - n_special - n_alphabet;
+    if (n_merges < 0) n_merges = 0;
+
+    std::vector<std::pair<std::string, float>> merged;  // piece, score
+    for (int it = 0; it < n_merges; ++it) {
+      // count adjacent pairs
+      std::map<std::pair<int, int>, int64_t> pair_freq;
+      for (size_t wi = 0; wi < words.size(); ++wi) {
+        const auto& w = words[wi];
+        for (size_t j = 0; j + 1 < w.size(); ++j)
+          pair_freq[{w[j], w[j + 1]}] += freqs[wi];
+      }
+      if (pair_freq.empty()) break;
+      // pick the most frequent (ties: lexicographically first pair ids,
+      // i.e. earliest-created symbols — deterministic)
+      std::pair<int, int> best;
+      int64_t best_f = -1;
+      for (const auto& kv : pair_freq)
+        if (kv.second > best_f) {
+          best_f = kv.second;
+          best = kv.first;
+        }
+      if (best_f < 2) break;  // nothing worth merging
+      std::string piece = symbols[best.first] + symbols[best.second];
+      int new_id = intern(piece);
+      merged.emplace_back(piece, -float(it));
+      // apply the merge to every word
+      for (auto& w : words) {
+        std::vector<int> nw;
+        nw.reserve(w.size());
+        for (size_t j = 0; j < w.size();) {
+          if (j + 1 < w.size() && w[j] == best.first &&
+              w[j + 1] == best.second) {
+            nw.push_back(new_id);
+            j += 2;
+          } else {
+            nw.push_back(w[j]);
+            j += 1;
+          }
+        }
+        w.swap(nw);
+      }
+    }
+
+    // assemble the piece table with requested special ids
+    int total = n_special + n_alphabet + int(merged.size());
+    if (total > vocab_size) total = vocab_size;
+    std::vector<TrainedPiece> table(std::max(total, vocab_size));
+    std::vector<bool> used(table.size(), false);
+    auto place = [&](int id, const std::string& s, float sc, int type) {
+      if (id >= 0 && id < int(table.size()) && !used[id]) {
+        table[id] = {s, sc, type};
+        used[id] = true;
+      }
+    };
+    place(unk_id, "<unk>", 0.f, 2);
+    place(bos_id, "<s>", 0.f, 3);
+    place(eos_id, "</s>", 0.f, 3);
+    place(pad_id, "<pad>", 0.f, 3);
+    for (const auto& ud : user_defined) {
+      // user-defined symbols take the first free slots
+      for (size_t i = 0; i < table.size(); ++i)
+        if (!used[i]) {
+          place(int(i), ud, 0.f, 4);
+          break;
+        }
+    }
+    // merged pieces by rank, then single characters by frequency
+    std::vector<std::pair<std::string, float>> rest = merged;
+    {
+      std::vector<int> char_ids;
+      for (int i = 0; i < n_alphabet; ++i) char_ids.push_back(i);
+      std::sort(char_ids.begin(), char_ids.end(), [&](int a, int b) {
+        return char_freq[a] > char_freq[b];
+      });
+      float sc = -float(merged.size());
+      for (int id : char_ids) {
+        bool is_ud = false;
+        for (const auto& ud : user_defined)
+          if (symbols[id] == ud) is_ud = true;
+        if (is_ud) continue;
+        rest.emplace_back(symbols[id], sc);
+        sc -= 1.f;
+      }
+    }
+    size_t ri = 0;
+    for (size_t i = 0; i < table.size() && ri < rest.size(); ++i)
+      if (!used[i]) {
+        table[i] = {rest[ri].first, rest[ri].second, 1};
+        used[i] = true;
+        ++ri;
+      }
+    for (size_t i = 0; i < table.size(); ++i)
+      if (!used[i]) table[i] = {"<unused_" + std::to_string(i) + ">",
+                                0.f, 5};
+    return table;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Trains a BPE model over a corpus file; writes <prefix>.model and
+// <prefix>.vocab. user_defined: comma-separated. Returns 0 on success.
+int eet_bpe_train(const char* corpus_path, const char* model_prefix,
+                  int vocab_size, int unk_id, int bos_id, int eos_id,
+                  int pad_id, const char* user_defined) {
+  Trainer tr;
+  tr.vocab_size = vocab_size;
+  tr.unk_id = unk_id;
+  tr.bos_id = bos_id;
+  tr.eos_id = eos_id;
+  tr.pad_id = pad_id;
+  if (user_defined && *user_defined) {
+    std::istringstream iss(user_defined);
+    std::string tok;
+    while (std::getline(iss, tok, ','))
+      if (!tok.empty()) tr.user_defined.push_back(tok);
+  }
+  for (const auto& ud : tr.user_defined) tr.intern(ud);
+
+  std::ifstream f(corpus_path);
+  if (!f) return 1;
+  std::string line;
+  while (std::getline(f, line)) tr.add_sentence(line);
+
+  auto table = tr.train();
+  std::string model = serialize_model(table, unk_id, bos_id, eos_id,
+                                      pad_id, vocab_size);
+  {
+    std::ofstream mf(std::string(model_prefix) + ".model",
+                     std::ios::binary);
+    if (!mf) return 2;
+    mf.write(model.data(), std::streamsize(model.size()));
+  }
+  {
+    std::ofstream vf(std::string(model_prefix) + ".vocab");
+    if (!vf) return 2;
+    for (const auto& p : table)
+      vf << p.piece << "\t" << int(p.score) << "\n";
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,125 @@
+// eet_spm — native CLI with the reference's SentencePiece tool surface
+// (sentencepiece/src/CMakeLists.txt:267-271: spm_train / spm_encode /
+// spm_decode / spm_export_vocab), as used by the artifact recipe in
+// sentencepiece/build/commands:1-2.
+//
+//   eet_spm train  --input=corpus.txt --model_prefix=m --vocab_size=256
+//                  --pad_id=126 --unk_id=127 --bos_id=1 --eos_id=2
+//                  --user_defined_symbols=@
+//   eet_spm encode --model m.model   (stdin -> piece ids per line)
+//   eet_spm encode --model m.model --output_format=piece
+//   eet_spm decode --model m.model   (stdin ids -> text)
+//   eet_spm export_vocab --model m.model
+
+#include <cstdio>
+#include <cstring>
+#include <iostream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+extern "C" {
+int eet_bpe_train(const char*, const char*, int, int, int, int, int,
+                  const char*);
+void* eet_bpe_load(const char*);
+void eet_bpe_free(void*);
+int eet_bpe_piece_size(void*);
+int eet_bpe_encode(void*, const char*, int*, int);
+int eet_bpe_decode(void*, const int*, int, char*, int);
+int eet_bpe_id_to_piece(void*, int, char*, int);
+}
+
+namespace {
+
+std::string flag(int argc, char** argv, const std::string& name,
+                 const std::string& dflt = "") {
+  std::string pref = "--" + name + "=";
+  for (int i = 0; i < argc; ++i)
+    if (strncmp(argv[i], pref.c_str(), pref.size()) == 0)
+      return std::string(argv[i] + pref.size());
+  return dflt;
+}
+
+int iflag(int argc, char** argv, const std::string& name, int dflt) {
+  std::string v = flag(argc, argv, name);
+  return v.empty() ? dflt : atoi(v.c_str());
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    fprintf(stderr,
+            "usage: eet_spm {train|encode|decode|export_vocab} ...\n");
+    return 1;
+  }
+  std::string cmd = argv[1];
+
+  if (cmd == "train") {
+    std::string input = flag(argc, argv, "input");
+    std::string prefix = flag(argc, argv, "model_prefix", "bpe");
+    int vocab = iflag(argc, argv, "vocab_size", 256);
+    int unk = iflag(argc, argv, "unk_id", 0);
+    int bos = iflag(argc, argv, "bos_id", 1);
+    int eos = iflag(argc, argv, "eos_id", 2);
+    int pad = iflag(argc, argv, "pad_id", -1);
+    std::string ud = flag(argc, argv, "user_defined_symbols");
+    int rc = eet_bpe_train(input.c_str(), prefix.c_str(), vocab, unk,
+                           bos, eos, pad, ud.c_str());
+    if (rc) fprintf(stderr, "train failed (%d)\n", rc);
+    return rc;
+  }
+
+  std::string model = flag(argc, argv, "model");
+  void* h = eet_bpe_load(model.c_str());
+  if (!h) {
+    fprintf(stderr, "cannot load model: %s\n", model.c_str());
+    return 1;
+  }
+
+  if (cmd == "export_vocab") {
+    char buf[4096];
+    for (int i = 0; i < eet_bpe_piece_size(h); ++i) {
+      eet_bpe_id_to_piece(h, i, buf, sizeof(buf));
+      printf("%s\n", buf);
+    }
+  } else if (cmd == "encode") {
+    bool as_piece = flag(argc, argv, "output_format", "id") == "piece";
+    std::string line;
+    std::vector<int> ids(1 << 16);
+    char buf[4096];
+    while (std::getline(std::cin, line)) {
+      int n = eet_bpe_encode(h, line.c_str(), ids.data(),
+                             int(ids.size()));
+      std::string out;
+      for (int i = 0; i < n; ++i) {
+        if (i) out += " ";
+        if (as_piece) {
+          eet_bpe_id_to_piece(h, ids[i], buf, sizeof(buf));
+          out += buf;
+        } else {
+          out += std::to_string(ids[i]);
+        }
+      }
+      printf("%s\n", out.c_str());
+    }
+  } else if (cmd == "decode") {
+    std::string line;
+    std::vector<char> buf(1 << 20);
+    while (std::getline(std::cin, line)) {
+      std::istringstream iss(line);
+      std::vector<int> ids;
+      int v;
+      while (iss >> v) ids.push_back(v);
+      int n = eet_bpe_decode(h, ids.data(), int(ids.size()), buf.data(),
+                             int(buf.size()));
+      if (n >= 0) printf("%s\n", buf.data());
+    }
+  } else {
+    fprintf(stderr, "unknown command: %s\n", cmd.c_str());
+    eet_bpe_free(h);
+    return 1;
+  }
+  eet_bpe_free(h);
+  return 0;
+}

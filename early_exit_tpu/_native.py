@@ -23,8 +23,24 @@ _CACHED = None
 
 
 def _sources():
-    return sorted(glob.glob(os.path.join(_CSRC, "**", "*.cc"),
+    srcs = sorted(glob.glob(os.path.join(_CSRC, "**", "*.cc"),
                             recursive=True))
+    # files with a main() build into CLI binaries, not the shared lib
+    return [s for s in srcs if not s.endswith("_cli.cc")]
+
+
+def build_cli(verbose: bool = False) -> str:
+    """Build the `eet_spm` CLI binary (spm_train/encode/decode surface)."""
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    out = os.path.join(_BUILD_DIR, "eet_spm")
+    srcs = [os.path.join(_CSRC, "tokenizer", "spm_cli.cc"),
+            os.path.join(_CSRC, "tokenizer", "bpe_tokenizer.cc"),
+            os.path.join(_CSRC, "tokenizer", "bpe_trainer.cc")]
+    cmd = ["g++", "-O3", "-std=c++17", "-o", out, *srcs]
+    if verbose:
+        print("building CLI:", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=not verbose)
+    return out
 
 
 def _stale() -> bool:
@@ -101,3 +117,8 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.eet_flac_channels.argtypes = [c.c_void_p]
     lib.eet_flac_copy.argtypes = [c.c_void_p, c.POINTER(c.c_int32)]
     lib.eet_flac_free.argtypes = [c.c_void_p]
+
+    lib.eet_bpe_train.restype = c.c_int
+    lib.eet_bpe_train.argtypes = [c.c_char_p, c.c_char_p, c.c_int,
+                                  c.c_int, c.c_int, c.c_int, c.c_int,
+                                  c.c_char_p]

@@ -41,6 +41,7 @@ class ModelConfig:
     conv_norm: str = "batch"              # conformer conv-module norm
     length_mode: str = "reference"        # "reference": clamp(len/4); "true": exact conv arithmetic
     remat: bool = False                   # jax.checkpoint each block
+    attention_impl: str = "xla"           # "xla" | "pallas" (fused VMEM attention)
 
     @property
     def dtype(self):

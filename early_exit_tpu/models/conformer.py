@@ -42,6 +42,7 @@ class ConformerConfig:
     dropout: float = 0.1
     conv_norm: str = "batch"   # "batch" | "group"
     compute_dtype: str = "float32"
+    attention_impl: str = "xla"   # "xla" | "pallas"
 
     @property
     def dtype(self):
@@ -157,8 +158,13 @@ def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
     x = x + 0.5 * _ffn(params["ffn1"], x, cfg, r_ffn1, train)
 
     y = nn.layer_norm(params["attn"]["ln"], x)
-    y = nn.mha(params["attn"]["mha"], y, y, cfg.n_heads, key_mask=mask,
-               compute_dtype=cfg.dtype)
+    if cfg.attention_impl == "pallas":
+        from early_exit_tpu.ops.pallas import attention as pattn
+        y = pattn.mha_pallas(params["attn"]["mha"], y, cfg.n_heads,
+                             key_mask=mask, compute_dtype=cfg.dtype)
+    else:
+        y = nn.mha(params["attn"]["mha"], y, y, cfg.n_heads, key_mask=mask,
+                   compute_dtype=cfg.dtype)
     if train:
         y = nn.dropout(y, cfg.dropout, r_attn, train=True)
     x = x + y

@@ -76,23 +76,58 @@ def frame_count(n_samples: int, hop_length: int) -> int:
     return 1 + n_samples // hop_length
 
 
-def spectrogram(wav: jax.Array, *, n_fft: int, win_length: int,
-                hop_length: int) -> jax.Array:
-    """(B, N) waveform -> (B, T, n_fft//2+1) power spectrogram."""
+def _windowed_dft(n_fft: int, win_length: int):
+    """Real-DFT basis with the Hann window folded in: (n_fft, n_fft//2+1)
+    cosine and sine matrices. On TPU an explicit DFT matmul runs on the
+    MXU and is ~6x faster than XLA's FFT lowering for these sizes.
+
+    Built INSIDE the traced graph from iota (a few MB of host constants
+    would otherwise be embedded as HLO literals, which the remote TPU
+    compiler handles pathologically slowly). The angle is reduced mod
+    n_fft in exact integer arithmetic before the float conversion, so
+    large n*k products lose no precision."""
+    n = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_fft // 2 + 1), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_fft // 2 + 1), 1)
+    phase = (n * k) % n_fft                      # exact int32
+    ang = (-2.0 * math.pi / n_fft) * phase.astype(jnp.float32)
+    w = jnp.asarray(hann_window(win_length, n_fft))[:, None]  # small const
+    return jnp.cos(ang) * w, jnp.sin(ang) * w
+
+
+def _frames(wav: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
     B, N = wav.shape
     pad = n_fft // 2
     x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = frame_count(N, hop_length)
     idx = (jnp.arange(n_frames)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :])               # (T, n_fft)
-    frames = x[:, idx]                                 # (B, T, n_fft)
-    frames = frames * hann_window(win_length, n_fft)
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
-    return (spec.real ** 2 + spec.imag ** 2)
+           + jnp.arange(n_fft)[None, :])
+    return x[:, idx]                                   # (B, T, n_fft)
+
+
+def spectrogram(wav: jax.Array, *, n_fft: int, win_length: int,
+                hop_length: int, method: str = "fft") -> jax.Array:
+    """(B, N) waveform -> (B, T, n_fft//2+1) power spectrogram.
+
+    method="fft" (default): XLA FFT. method="dft": windowed real-DFT as
+    two MXU matmuls — ~25%% faster at runtime on TPU v5e, but the axon
+    remote compiler takes minutes on the DFT graph, so FFT stays the
+    default until compiles are cached."""
+    frames = _frames(wav, n_fft, hop_length)
+    if method == "fft":
+        frames = frames * hann_window(win_length, n_fft)
+        spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+        return (spec.real ** 2 + spec.imag ** 2)
+    cos, sin = _windowed_dft(n_fft, win_length)
+    re = jnp.einsum("btn,nk->btk", frames, cos,
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("btn,nk->btk", frames, sin,
+                    preferred_element_type=jnp.float32)
+    return re * re + im * im
 
 
 def mel_spectrogram(wav: jax.Array, cfg: AudioConfig, *,
-                    log_compress: bool = False) -> jax.Array:
+                    log_compress: bool = False,
+                    method: str = "fft") -> jax.Array:
     """(B, N) waveform -> (B, T, n_mels) (feature-last, model-ready).
 
     The actual FFT size is cfg.n_fft*2 — preserving the reference's quirk
@@ -101,7 +136,7 @@ def mel_spectrogram(wav: jax.Array, cfg: AudioConfig, *,
     """
     n_fft = cfg.n_fft * 2
     spec = spectrogram(wav, n_fft=n_fft, win_length=cfg.win_length,
-                       hop_length=cfg.hop_length)      # (B, T, F)
+                       hop_length=cfg.hop_length, method=method)
     fb = mel_filterbank(n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate)
     mel = jnp.einsum("btf,fm->btm", spec, fb,
                      preferred_element_type=jnp.float32)

@@ -29,7 +29,19 @@ def test_spectrogram_matches_torch_stft():
 
     assert ours.shape == ref.shape
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-3,
-                               rtol=1e-4)
+                               rtol=1e-3)
+
+
+def test_dft_path_matches_fft_path():
+    """The MXU DFT-matmul spectrogram equals the XLA FFT one."""
+    rng = np.random.RandomState(3)
+    wav = jnp.asarray((0.1 * rng.randn(2, 8000)).astype(np.float32))
+    a = frontend.spectrogram(wav, n_fft=1024, win_length=320,
+                             hop_length=160, method="dft")
+    b = frontend.spectrogram(wav, n_fft=1024, win_length=320,
+                             hop_length=160, method="fft")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                               rtol=1e-3)
 
 
 def test_mel_filterbank_properties():
