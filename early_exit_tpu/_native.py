@@ -64,9 +64,21 @@ def build(verbose: bool = False) -> str:
 
 
 def get_lib() -> ctypes.CDLL:
-    """Returns the loaded native library, building it if missing/stale."""
+    """Returns the loaded native library, building it if missing/stale.
+
+    EET_NATIVE_LIB overrides the library path (e.g. the ASan build from
+    `make -C csrc asan`)."""
     global _CACHED
+    override = os.environ.get("EET_NATIVE_LIB")
     with _LOCK:
+        if override:
+            if _CACHED is None:
+                lib = ctypes.CDLL(os.path.join(_REPO, override)
+                                  if not os.path.isabs(override)
+                                  else override)
+                _configure(lib)
+                _CACHED = lib
+            return _CACHED
         if _CACHED is not None and not _stale():
             return _CACHED
         if _stale():

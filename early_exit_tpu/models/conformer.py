@@ -43,6 +43,7 @@ class ConformerConfig:
     conv_norm: str = "batch"   # "batch" | "group"
     compute_dtype: str = "float32"
     attention_impl: str = "xla"   # "xla" | "pallas"
+    remat: bool = False           # rematerialise each block in backward
 
     @property
     def dtype(self):
@@ -191,6 +192,26 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     layer_rngs = jax.random.split(rng, n_layers)
+
+    block_fn = block_apply
+    if cfg.remat:
+        # trade FLOPs for HBM: recompute block activations in the backward
+        # pass (jax.checkpoint) — the TPU-native answer to deep stacks
+        block_fn = jax.checkpoint(
+            lambda p, s, h, m, r: block_apply(p, s, h, m, cfg, rng=r,
+                                              train=train),
+            static_argnums=())
+        def body(carry, xs):   # noqa: F811
+            h = carry
+            p, s, r = xs
+            h, new_s = block_fn(p, s, h, mask, r)
+            out = h if collect_outputs else None
+            return h, (new_s, out)
+        y, (new_state, outs) = lax.scan(body, x,
+                                        (params, state, layer_rngs))
+        if collect_outputs:
+            return y, new_state, outs
+        return y, new_state
 
     def body(carry, xs):
         h = carry

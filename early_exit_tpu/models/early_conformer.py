@@ -29,7 +29,7 @@ def _conformer_cfg(cfg: ModelConfig) -> conformer.ConformerConfig:
         d_model=cfg.d_model, n_heads=cfg.n_heads, d_ff=cfg.d_feed_forward,
         kernel_size=cfg.depthwise_kernel_size, dropout=cfg.drop_prob,
         conv_norm=cfg.conv_norm, compute_dtype=cfg.compute_dtype,
-        attention_impl=cfg.attention_impl)
+        attention_impl=cfg.attention_impl, remat=cfg.remat)
 
 
 def init(key: jax.Array, cfg: ModelConfig):
