@@ -96,7 +96,12 @@ def conv1d_init(key: jax.Array, c_in: int, c_out: int, kernel: int,
 
 def conv1d(p: Param, x: jax.Array, *, stride: int = 1,
            padding: str | int = "VALID", compute_dtype=None) -> jax.Array:
-    """1-D convolution over the time axis of a (B, T, C) tensor."""
+    """1-D convolution over the time axis of a (B, T, C) tensor.
+
+    The conv output stays in the compute dtype and is cast to float32
+    explicitly afterwards: a float32 `preferred_element_type` on bfloat16
+    operands makes the autodiff transpose conv see mixed dtypes, which
+    lax.conv rejects (an explicit cast transposes to a cast instead)."""
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -111,8 +116,7 @@ def conv1d(p: Param, x: jax.Array, *, stride: int = 1,
     y = lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=pad,
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     if "b" in p:
         y = y + p["b"]
     return y

@@ -63,3 +63,38 @@ def test_metrics_shapes():
     assert metrics["loss_per_exit"].shape == (cfg.n_enc_exits,)
     assert int(metrics["step"]) == 1
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_bfloat16_train_step_runs():
+    """Regression: bf16 compute + f32 params must differentiate (the conv
+    transpose used to see mixed dtypes)."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, compute_dtype="bfloat16")
+    tcfg = TrainConfig()
+    opt = make_optimizer(cfg.d_model, warmup=10)
+    state = trainer.create_train_state(jax.random.PRNGKey(0),
+                                       early_conformer, cfg, opt)
+    step = jax.jit(trainer.make_train_step(early_conformer, cfg, tcfg, opt))
+    state, m = step(state, _synthetic_batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_remat_matches_no_remat():
+    import dataclasses
+    cfg = TINY
+    cfg_r = dataclasses.replace(TINY, remat=True)
+    tcfg = TrainConfig()
+    opt = make_optimizer(cfg.d_model, warmup=10)
+    state = trainer.create_train_state(jax.random.PRNGKey(0),
+                                       early_conformer, cfg, opt)
+    batch = _synthetic_batch(cfg)
+    s1, m1 = jax.jit(trainer.make_train_step(early_conformer, cfg, tcfg,
+                                             opt))(state, batch,
+                                                   jax.random.PRNGKey(1))
+    s2, m2 = jax.jit(trainer.make_train_step(early_conformer, cfg_r, tcfg,
+                                             opt))(state, batch,
+                                                   jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-4)
