@@ -19,5 +19,6 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     except Exception as e:  # pragma: no cover
         raise RuntimeError(
             "FLAC decoding requires the native audio library; build it "
-            "with `python setup_native.py build` (csrc/audio)") from e
+            "with `make -C csrc` or let early_exit_tpu._native.build() "
+            "compile it (needs g++)") from e
     return decode_flac(path)

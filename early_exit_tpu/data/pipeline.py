@@ -45,7 +45,8 @@ class Pipeline:
                  train_cfg: TrainConfig, *, bpe: bool = True,
                  shuffle: bool = True, seed: int = 0,
                  infer_mode: bool = False, prefetch: int = 2,
-                 frame_bucket: int = 100, label_bucket: int = 16):
+                 frame_bucket: int = 100, label_bucket: int = 16,
+                 workers: int = 4):
         self.ds = dataset
         self.tok = tokenizer
         self.acfg = audio_cfg
@@ -57,6 +58,10 @@ class Pipeline:
         self.prefetch = prefetch
         self.frame_bucket = frame_bucket
         self.label_bucket = label_bucket
+        # audio decode happens in native code (ctypes releases the GIL),
+        # so a thread pool scales like the reference's worker processes
+        # (data.py:27 num_workers)
+        self.workers = max(workers, 1)
         self._mel = _jit_mel(audio_cfg.n_fft, audio_cfg.win_length,
                              audio_cfg.hop_length, audio_cfg.n_mels,
                              audio_cfg.sample_rate)
@@ -120,12 +125,15 @@ class Pipeline:
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
         bs = self.tcfg.batch_size
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(self.workers) if self.workers > 1 else None
         for start in range(0, len(idx) - bs + 1, bs):
-            chunk = []
-            for i in idx[start:start + bs]:
-                item = self._load_item(int(i))
-                if item is not None:
-                    chunk.append(item)
+            ids = [int(i) for i in idx[start:start + bs]]
+            if pool is not None:
+                items = list(pool.map(self._load_item, ids))
+            else:
+                items = [self._load_item(i) for i in ids]
+            chunk = [it for it in items if it is not None]
             if not chunk:
                 continue
             sizes = [len(w) for w, _, _ in chunk]

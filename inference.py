@@ -252,7 +252,8 @@ def main(argv=None):
             except FileNotFoundError:
                 sys.exit("Invalid data split")
         pipe = Pipeline(ds, tokenizer, audio_cfg, train_cfg, bpe=args.bpe,
-                        shuffle=False, infer_mode=True)
+                        shuffle=False, infer_mode=True,
+                        workers=args.n_workers)
         if args.decoder_mode == "ctc":
             if args.exit_threshold is not None:
                 run_ctc_gated(model_cfg, state, pipe, split, tokenizer,

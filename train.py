@@ -77,7 +77,8 @@ def main(argv=None):
 
     dataset = build_dataset(args)
     pipe = Pipeline(dataset, tokenizer, audio_cfg, train_cfg,
-                    bpe=args.bpe, shuffle=args.shuffle, seed=args.seed)
+                    bpe=args.bpe, shuffle=args.shuffle, seed=args.seed,
+                    workers=args.n_workers)
 
     warmup = args.warmup
     if warmup == -1:
