@@ -28,6 +28,10 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+from early_exit_tpu.runtime import enable_compilation_cache
+enable_compilation_cache()
+
+
 def main():
     from early_exit_tpu.configs import AudioConfig, ModelConfig
     from early_exit_tpu.models import early_conformer

@@ -62,6 +62,7 @@ class TrainConfig:
     aed_ce_weight: float = 0.7
     aed_ctc_weight: float = 0.3
     ctc_compat_padded_lengths: bool = True   # reference quirk train.py:57-58
+    fast_rng: bool = True     # rbg PRNG for dropout masks (much faster on TPU)
     seed: int = 0
 
 

@@ -116,29 +116,48 @@ _WORDS = ("THE OF AND TO A IN THAT IS WAS HE FOR IT WITH AS HIS ON BE AT "
 
 class SyntheticDataset:
     """Deterministic synthetic corpus shaped like LibriSpeech (tests,
-    smoke training, benchmarks). Audio is noise-modulated tones whose
-    duration scales with the transcript length."""
+    smoke training, benchmarks).
+
+    The audio genuinely ENCODES the transcript: each character is an 80 ms
+    tone at a character-specific frequency (plus noise), so a CTC model can
+    actually learn to transcribe it — end-to-end convergence on this
+    corpus is a real learning test, not a fit to priors."""
+
+    CHAR_MS = 80.0
 
     def __init__(self, n_items: int = 64, sample_rate: int = 16000,
-                 seed: int = 0, min_words: int = 2, max_words: int = 12):
+                 seed: int = 0, min_words: int = 2, max_words: int = 12,
+                 noise: float = 0.02):
         self.n_items = n_items
         self.sample_rate = sample_rate
         self.seed = seed
         self.min_words = min_words
         self.max_words = max_words
+        self.noise = noise
 
     def __len__(self) -> int:
         return self.n_items
+
+    @staticmethod
+    def _char_freq(c: str) -> float:
+        if c == " ":
+            return 120.0
+        if c == "'":
+            return 150.0
+        return 400.0 + 110.0 * (ord(c.lower()) - ord("a"))  # 400..3150 Hz
 
     def __getitem__(self, i: int) -> Utterance:
         rng = np.random.RandomState(self.seed * 100003 + i)
         n_words = rng.randint(self.min_words, self.max_words + 1)
         words = [_WORDS[rng.randint(len(_WORDS))] for _ in range(n_words)]
         text = " ".join(words)
-        dur = 0.25 * n_words + 0.3
-        n = int(dur * self.sample_rate)
-        t = np.arange(n) / self.sample_rate
-        f0 = 80.0 + 40.0 * rng.rand()
-        wav = (0.1 * np.sin(2 * np.pi * f0 * t)
-               + 0.02 * rng.randn(n)).astype(np.float32)
-        return Utterance(wav, self.sample_rate, text, "0", "0", f"synth-{i}")
+        seg = int(self.CHAR_MS / 1000.0 * self.sample_rate)
+        n = seg * len(text)
+        t = np.arange(seg) / self.sample_rate
+        wav = np.empty(n, np.float32)
+        for k, c in enumerate(text):
+            f = self._char_freq(c)
+            wav[k * seg:(k + 1) * seg] = 0.2 * np.sin(2 * np.pi * f * t)
+        wav += self.noise * rng.randn(n).astype(np.float32)
+        return Utterance(wav.astype(np.float32), self.sample_rate, text,
+                         "0", "0", f"synth-{i}")

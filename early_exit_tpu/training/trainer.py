@@ -80,6 +80,17 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
     """
     aed = train_cfg.decoder_mode == "aed"
 
+    def _fast_key(rng):
+        """Re-wrap the step key as an 'rbg' PRNG key: threefry mask
+        generation for the ~60 dropout tensors costs ~40% of the whole
+        train step on TPU v5e (measured: 42ms -> 25ms); rbg is
+        hardware-friendly and plenty for dropout."""
+        if not train_cfg.fast_rng:
+            return rng
+        data = jax.random.key_data(rng)
+        return jax.random.wrap_key_data(
+            jnp.concatenate([data, data]).astype(jnp.uint32), impl="rbg")
+
     def loss_fn(params, model_state, batch, rng):
         item_mask = batch.get("item_mask")
         if aed:
@@ -121,7 +132,7 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
     schedule = None
 
     def step(state: TrainState, batch, rng) -> tuple[TrainState, Dict]:
-        rng = jax.random.fold_in(rng, state["step"])
+        rng = jax.random.fold_in(_fast_key(rng), state["step"])
         (loss, (per_exit, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"], state["model_state"],
                                    batch, rng)

@@ -40,6 +40,10 @@ from early_exit_tpu.training import checkpoint, trainer
 from early_exit_tpu.utils import WerAccumulator, count_parameters
 
 
+from early_exit_tpu.runtime import enable_compilation_cache
+enable_compilation_cache()
+
+
 def _load_lexicon(args):
     for cand in ("librispeech.lex",
                  "/root/reference/librispeech.lex"):

@@ -41,6 +41,10 @@ from early_exit_tpu.training import checkpoint, trainer
 from early_exit_tpu.utils import MetricsLogger, count_parameters
 
 
+from early_exit_tpu.runtime import enable_compilation_cache
+enable_compilation_cache()
+
+
 def build_dataset(args):
     if args.synthetic_data:
         return SyntheticDataset(n_items=max(args.batch_size * 4, 64),
