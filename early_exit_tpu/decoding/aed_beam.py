@@ -25,8 +25,6 @@ beam_size explicitly; here it is simply a required argument.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -12,7 +12,6 @@ length for every item (train.py:57-58). `ctc_compat_padded_lengths=True`
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -129,7 +128,6 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
             item_mask=item_mask)
         return total, (per_exit, new_state)
 
-    schedule = None
 
     def step(state: TrainState, batch, rng) -> tuple[TrainState, Dict]:
         rng = jax.random.fold_in(_fast_key(rng), state["step"])
