@@ -181,6 +181,95 @@ int decode(const Decoder& dec, const float* logp, int T, int V, int blank,
   return n;
 }
 
+// nbest variant: fills up to `nbest` complete hypotheses. For each, writes
+// its word count into out_counts[i], its score into out_scores[i], and its
+// words contiguously into out_words. Returns the number of hypotheses.
+int decode_nbest(const Decoder& dec, const float* logp, int T, int V,
+                 int blank, float word_score, int beam_size,
+                 float beam_threshold, int nbest, int* out_words,
+                 int max_words, int* out_counts, float* out_scores) {
+  Arena arena;
+  std::vector<Hyp> beam{Hyp{}};
+  std::unordered_map<HypKey, float, HypKeyHash> merged;
+  std::vector<Hyp> next;
+
+  for (int t = 0; t < T; ++t) {
+    const float* lp = logp + size_t(t) * V;
+    merged.clear();
+    next.clear();
+    auto emit = [&](const Hyp& h) {
+      HypKey key{h.node, h.prev_tok, h.blank, h.words};
+      auto it = merged.find(key);
+      if (it == merged.end()) {
+        merged.emplace(key, h.score);
+        next.push_back(h);
+      } else {
+        it->second = logadd(it->second, h.score);
+      }
+    };
+    for (const Hyp& h : beam) {
+      emit(Hyp{h.node, h.prev_tok, true, h.score + lp[blank], h.words});
+      if (h.prev_tok >= 0 && !h.blank)
+        emit(Hyp{h.node, h.prev_tok, false, h.score + lp[h.prev_tok],
+                 h.words});
+      for (const auto& kv : dec.nodes[h.node].children) {
+        int tok = kv.first;
+        if (tok == blank) continue;
+        if (tok == h.prev_tok && !h.blank) continue;
+        float s = h.score + lp[tok];
+        const TrieNode& child = dec.nodes[kv.second];
+        if (!child.children.empty())
+          emit(Hyp{kv.second, tok, false, s, h.words});
+        if (child.word_id >= 0)
+          emit(Hyp{0, tok, false, s + word_score,
+                   arena.push(child.word_id, h.words)});
+      }
+    }
+    for (Hyp& h : next) {
+      HypKey key{h.node, h.prev_tok, h.blank, h.words};
+      h.score = merged[key];
+    }
+    float best = -INFINITY;
+    for (const Hyp& h : next) best = std::max(best, h.score);
+    std::vector<Hyp> kept;
+    for (const Hyp& h : next)
+      if (h.score >= best - beam_threshold) kept.push_back(h);
+    if (int(kept.size()) > beam_size) {
+      std::nth_element(kept.begin(), kept.begin() + beam_size, kept.end(),
+                       [](const Hyp& a, const Hyp& b) {
+                         return a.score > b.score;
+                       });
+      kept.resize(beam_size);
+    }
+    beam.swap(kept);
+    if (beam.empty()) break;
+  }
+
+  std::vector<const Hyp*> finals;
+  for (const Hyp& h : beam)
+    if (h.node == 0) finals.push_back(&h);
+  if (finals.empty())
+    for (const Hyp& h : beam) finals.push_back(&h);
+  std::sort(finals.begin(), finals.end(),
+            [](const Hyp* a, const Hyp* b) { return a->score > b->score; });
+  int n_out = std::min<int>(nbest, int(finals.size()));
+  int pos = 0;
+  for (int i = 0; i < n_out; ++i) {
+    std::vector<int> words;
+    for (const WordChain* w = finals[i]->words; w; w = w->parent)
+      words.push_back(w->word_id);
+    std::reverse(words.begin(), words.end());
+    if (pos + int(words.size()) > max_words) {
+      n_out = i;
+      break;
+    }
+    out_counts[i] = int(words.size());
+    out_scores[i] = finals[i]->score;
+    for (int wid : words) out_words[pos++] = wid;
+  }
+  return n_out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -208,6 +297,18 @@ int eet_trie_decode(void* h, const float* logp, int T, int V, int blank,
   return decode(*static_cast<Decoder*>(h), logp, T, V, blank, word_score,
                 beam_size, beam_threshold, out_words, max_words,
                 out_score);
+}
+
+// nbest variant (ctc_predict parity, util/beam_infer.py:115-126): returns
+// the number of complete hypotheses written (<= nbest).
+int eet_trie_decode_nbest(void* h, const float* logp, int T, int V,
+                          int blank, float word_score, int beam_size,
+                          float beam_threshold, int nbest, int* out_words,
+                          int max_words, int* out_counts,
+                          float* out_scores) {
+  return decode_nbest(*static_cast<Decoder*>(h), logp, T, V, blank,
+                      word_score, beam_size, beam_threshold, nbest,
+                      out_words, max_words, out_counts, out_scores);
 }
 
 }  // extern "C"

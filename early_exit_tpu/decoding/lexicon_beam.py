@@ -55,6 +55,11 @@ class LexiconBeamDecoder:
             c.c_void_p, c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int,
             c.c_float, c.c_int, c.c_float, c.POINTER(c.c_int), c.c_int,
             c.POINTER(c.c_float)]
+        lib.eet_trie_decode_nbest.restype = c.c_int
+        lib.eet_trie_decode_nbest.argtypes = [
+            c.c_void_p, c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int,
+            c.c_float, c.c_int, c.c_float, c.c_int, c.POINTER(c.c_int),
+            c.c_int, c.POINTER(c.c_int), c.POINTER(c.c_float)]
         lib._trie_configured = True
 
     def __del__(self):
@@ -102,6 +107,29 @@ class LexiconBeamDecoder:
         if n < 0:
             return "", float("-inf")
         return " ".join(self.words[out[i]] for i in range(n)), score.value
+
+    def decode_nbest(self, log_probs: np.ndarray, nbest: int
+                     ) -> List[Tuple[str, float]]:
+        """`ctc_predict` parity (util/beam_infer.py:115-126): returns up
+        to `nbest` complete hypotheses as (transcript, score), best
+        first. The reference softmaxes the nbest scores to a posterior;
+        do that on the returned scores if needed."""
+        lp = np.ascontiguousarray(log_probs, np.float32)
+        T, V = lp.shape
+        out = (ctypes.c_int * 4096)()
+        counts = (ctypes.c_int * nbest)()
+        scores = (ctypes.c_float * nbest)()
+        n = self._lib.eet_trie_decode_nbest(
+            self._h, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            T, V, self.blank, self.word_score, self.beam_size,
+            self.beam_threshold, nbest, out, len(out), counts, scores)
+        results = []
+        pos = 0
+        for i in range(max(n, 0)):
+            words = [self.words[out[pos + j]] for j in range(counts[i])]
+            pos += counts[i]
+            results.append((" ".join(words), float(scores[i])))
+        return results
 
     def decode_batch(self, log_probs: np.ndarray,
                      lengths=None) -> List[str]:

@@ -79,7 +79,8 @@ def param_pspec(path, leaf) -> P:
         return P(*([None] * (ndim - 2) + [axis_name, None]))
 
     in_ffn = any(n in ("ffn1", "ffn2") for n in names)
-    in_heads = "heads" in names or "out_linear" in names
+    in_heads = any(n in ("heads", "head", "out_linear", "ctc_heads",
+                         "out_heads") for n in names)
     leaf_name = names[-1] if names else ""
     parent = names[-2] if len(names) >= 2 else ""
 

@@ -87,3 +87,17 @@ def test_from_reference_artifacts():
     lp[2, the_id] = 0.0
     text, _ = dec.decode(lp)
     assert text == "the"
+
+
+def test_nbest_hypotheses():
+    dec = LexiconBeamDecoder(ENTRIES, 4, beam_size=8)
+    # ambiguous: could be "abc" or "ab"+"c"
+    lp = _emit([1, 2, 3, 0], hi=0.0, lo=-2.0)
+    results = dec.decode_nbest(lp, nbest=4)
+    assert len(results) >= 2
+    texts = [t for t, _ in results]
+    scores = [s for _, s in results]
+    assert scores == sorted(scores, reverse=True)
+    assert "abc" in texts or "ab c" in texts
+    # best hypothesis equals the single-best decode
+    assert texts[0] == dec.decode(lp)[0]
