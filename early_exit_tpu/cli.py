@@ -44,7 +44,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Use SentencePiece BPE tokenization (True) or the "
                         "legacy 32-char map (False).")
     p.add_argument("--distill", type=_bool, default=False,
-                   help="Knowledge distillation (reserved; parity flag).")
+                   help="Self-distillation: the deepest exit teaches "
+                        "earlier exits via temperature-smoothed KL "
+                        "(implemented here; reserved in the reference).")
+    p.add_argument("--distill_weight", type=float, default=1.0)
+    p.add_argument("--distill_temperature", type=float, default=2.0)
 
     # checkpoints
     p.add_argument("--save_model_dir", type=str, default="/trained_model")
@@ -198,6 +202,8 @@ def get_args(argv=None):
         aed_ce_weight=args.aed_ce_weight,
         aed_ctc_weight=args.aed_ctc_weight,
         ctc_compat_padded_lengths=args.ctc_compat_padded_lengths,
+        distill=args.distill, distill_weight=args.distill_weight,
+        distill_temperature=args.distill_temperature,
         seed=args.seed)
     audio_cfg = AudioConfig(
         sample_rate=args.sample_rate, n_fft=args.n_fft,

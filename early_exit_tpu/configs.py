@@ -63,6 +63,12 @@ class TrainConfig:
     aed_ctc_weight: float = 0.3
     ctc_compat_padded_lengths: bool = True   # reference quirk train.py:57-58
     fast_rng: bool = True     # rbg PRNG for dropout masks (much faster on TPU)
+    # self-distillation: KL(stop_grad(softmax(deepest exit)) || exit e)
+    # added per earlier exit — implements the reference's reserved
+    # --distill flag (util/conf.py:48-57: "not implemented" there)
+    distill: bool = False
+    distill_weight: float = 1.0
+    distill_temperature: float = 2.0
     seed: int = 0
 
 

@@ -62,6 +62,35 @@ def ctc_multi_exit_loss(log_probs: jax.Array, sub_len: jax.Array,
     return jnp.sum(losses), losses
 
 
+def distill_loss(log_probs: jax.Array, sub_len: jax.Array, *,
+                 temperature: float = 2.0,
+                 item_mask: jax.Array | None = None) -> jax.Array:
+    """Self-distillation for early exits: mean (over exits, valid frames)
+    KL(teacher || student) where the teacher is the deepest exit's
+    frame posterior (stop-gradient), temperature-smoothed.
+
+    Implements the capability behind the reference's reserved --distill
+    flag (util/conf.py:48-57) — the deepest classifier teaches earlier
+    exits, the standard recipe for early-exit ASR models.
+    """
+    E, B, Tp, V = log_probs.shape
+    teacher = jax.lax.stop_gradient(log_probs[-1]) / temperature
+    teacher = jax.nn.log_softmax(teacher, axis=-1)        # (B, T', V)
+    frame_mask = (jnp.arange(Tp)[None, :] < sub_len[:, None]
+                  ).astype(jnp.float32)                    # (B, T')
+    if item_mask is not None:
+        frame_mask = frame_mask * item_mask[:, None]
+
+    def kl_one(student_logp):
+        s = jax.nn.log_softmax(student_logp / temperature, axis=-1)
+        kl = jnp.sum(jnp.exp(teacher) * (teacher - s), axis=-1)  # (B, T')
+        return (jnp.sum(kl * frame_mask)
+                / jnp.maximum(jnp.sum(frame_mask), 1.0))
+
+    kls = jax.vmap(kl_one)(log_probs[:-1])                # (E-1,)
+    return (temperature ** 2) * jnp.mean(kls)
+
+
 def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
                     optimizer) -> Callable:
     """Returns jittable `step(state, batch, rng) -> (state, metrics)`.
@@ -126,6 +155,11 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
             blank=model_cfg.blank_id,
             padded_lengths=train_cfg.ctc_compat_padded_lengths,
             item_mask=item_mask)
+        if train_cfg.distill and log_probs.shape[0] > 1:
+            total = total + train_cfg.distill_weight * distill_loss(
+                log_probs, sub_len,
+                temperature=train_cfg.distill_temperature,
+                item_mask=item_mask)
         return total, (per_exit, new_state)
 
 

@@ -98,3 +98,34 @@ def test_remat_matches_no_remat():
                                rtol=1e-5)
     np.testing.assert_allclose(float(m1["grad_norm"]),
                                float(m2["grad_norm"]), rtol=1e-4)
+
+
+def test_distillation_loss_and_training():
+    import dataclasses
+    cfg = TINY
+    batch = _synthetic_batch(cfg)
+    # KL of the teacher with itself is 0; earlier exits give positive KL
+    import jax.numpy as jnp
+    from early_exit_tpu.training.trainer import distill_loss
+    E, B, T, V = 3, 2, 5, 8
+    rng = np.random.RandomState(0)
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(E, B, T, V)), axis=-1)
+    sub_len = jnp.asarray([T, T - 2])
+    kl = float(distill_loss(lp, sub_len))
+    assert kl > 0
+    same = jnp.broadcast_to(lp[-1:], lp.shape)
+    np.testing.assert_allclose(float(distill_loss(same, sub_len)), 0.0,
+                               atol=1e-6)
+
+    # training with distillation still decreases the loss
+    tcfg = TrainConfig(distill=True, distill_weight=0.5)
+    opt = make_optimizer(cfg.d_model, warmup=10)
+    state = trainer.create_train_state(jax.random.PRNGKey(0),
+                                       early_conformer, cfg, opt)
+    step = jax.jit(trainer.make_train_step(early_conformer, cfg, tcfg, opt))
+    losses = []
+    for _ in range(10):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
