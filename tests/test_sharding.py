@@ -97,3 +97,43 @@ def test_forward_dp_only_mesh():
     out = fn(params, mstate, sb["feats"], sb["feat_lengths"])
     assert out.shape[0] == cfg.n_enc_exits
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_aed_train_step_on_mesh():
+    """full_conformer (AED) joint loss trains on a dp x tp mesh."""
+    from early_exit_tpu.models import full_conformer
+    cfg = ModelConfig(model_type="full_conformer", d_model=32, n_heads=4,
+                      d_feed_forward=64, n_enc_exits=2,
+                      n_enc_layers_per_exit=1, n_dec_layers=1,
+                      depthwise_kernel_size=7, vocab_size=16, n_mels=8,
+                      compute_dtype="float32", drop_prob=0.0,
+                      pad_id=14, bos_id=1, eos_id=2)
+    tcfg = TrainConfig(decoder_mode="aed")
+    opt = make_optimizer(cfg.d_model, warmup=10)
+    state = trainer.create_train_state(jax.random.PRNGKey(0),
+                                       full_conformer, cfg, opt)
+    step = trainer.make_train_step(full_conformer, cfg, tcfg, opt)
+    rng = np.random.RandomState(0)
+    B, T, L = 8, 67, 6
+    labels = np.full((B, L), cfg.pad_id, np.int32)
+    labels[:, 0] = cfg.bos_id
+    labels[:, 1:4] = rng.randint(3, 13, size=(B, 3))
+    labels[:, 4] = cfg.eos_id
+    batch = {"feats": jnp.asarray(rng.randn(B, T, cfg.n_mels)
+                                  .astype(np.float32)),
+             "feat_lengths": jnp.asarray([T] * B),
+             "labels": jnp.asarray(labels),
+             "label_lengths": jnp.asarray([5] * B)}
+
+    s1, m1 = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    mesh = make_mesh(dp=4, tp=2)
+    sharded = {"params": shard_params(state["params"], mesh),
+               "model_state": replicate(state["model_state"], mesh),
+               "opt_state": replicate(state["opt_state"], mesh),
+               "step": state["step"]}
+    s2, m2 = jax.jit(step)(sharded, shard_batch(batch, mesh),
+                           jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-4)
