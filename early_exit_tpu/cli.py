@@ -16,9 +16,7 @@ vocab sizes, and resolves lexicon/tokens paths.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
-from typing import Optional, Tuple
 
 from early_exit_tpu.configs import AudioConfig, ModelConfig, TrainConfig
 

@@ -9,7 +9,6 @@ util/conf.py:283-291, 385-430 — we parse them as floats).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

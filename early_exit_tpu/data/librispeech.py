@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import wave
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

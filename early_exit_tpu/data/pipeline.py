@@ -18,7 +18,7 @@ from __future__ import annotations
 import functools
 import queue
 import threading
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import jax
 import jax.numpy as jnp

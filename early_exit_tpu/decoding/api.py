@@ -17,7 +17,7 @@ front door over this framework's implementations:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import jax
 import numpy as np

@@ -14,8 +14,7 @@ scan per OOV word over 89,114 entries — a major CPU hot spot (SURVEY.md
 from __future__ import annotations
 
 import io
-import os
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Sequence
 
 
 def load_dict(file_path: str) -> List[str]:

@@ -27,8 +27,6 @@ i.e. masking is a no-op; we mask correctly wherever a mask is supplied.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -17,8 +17,6 @@ Layer (pre-norm):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -18,7 +18,7 @@ BPE merge semantics (sentencepiece bpe_model.cc behavior):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from early_exit_tpu.tokenizer import proto
 

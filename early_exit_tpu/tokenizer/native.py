@@ -6,7 +6,6 @@ import ctypes
 from typing import List
 
 from early_exit_tpu import _native
-from early_exit_tpu.tokenizer import proto
 
 
 class NativeBPE:

@@ -12,7 +12,7 @@ length for every item (train.py:57-58). `ctc_compat_padded_lengths=True`
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,6 @@ import optax
 
 from early_exit_tpu.configs import ModelConfig, TrainConfig
 from early_exit_tpu.ops import ctc
-from early_exit_tpu.optim import make_optimizer, noam_schedule
 
 
 TrainState = Dict[str, Any]   # {"params", "model_state", "opt_state", "step"}

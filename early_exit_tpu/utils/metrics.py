@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 def _edit_ops(ref: List[str], hyp: List[str]) -> int:
