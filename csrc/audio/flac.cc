@@ -8,6 +8,7 @@
 // CONSTANT / VERBATIM / FIXED / LPC subframes, rice + rice2 residuals,
 // wasted bits. CRCs are not verified (integrity is the filesystem's job).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -224,11 +225,20 @@ bool decode_stream(const uint8_t* data, size_t size, Decoded* out) {
     }
     pos += blen;
   }
-  if (info.sample_rate == 0 || info.channels == 0) return false;
+  if (info.sample_rate == 0 || info.channels == 0 || info.channels > 8)
+    return false;
   out->sample_rate = info.sample_rate;
   out->channels = info.channels;
-  if (info.total_samples)
-    out->samples.reserve(size_t(info.total_samples) * info.channels);
+  // STREAMINFO is untrusted input: cap the pre-allocation (a hostile
+  // 36-bit total_samples field could otherwise demand ~256 GB) and bound
+  // the decode by a generous expansion of the compressed size.
+  const size_t max_total =
+      std::max<size_t>(size * 16, 1 << 20) / sizeof(int32_t);
+  if (info.total_samples) {
+    size_t want = size_t(info.total_samples) * info.channels;
+    out->samples.reserve(std::min(want, std::min<size_t>(
+        max_total, 64u * 1024u * 1024u)));
+  }
 
   BitReader br{data, size};
   br.byte = pos;
@@ -297,6 +307,8 @@ bool decode_stream(const uint8_t* data, size_t size, Decoded* out) {
         ch[1][i] = (mid - side) >> 1;
       }
     }
+    if (out->samples.size() + size_t(block_size) * n_ch > max_total)
+      return false;  // decoded output absurdly larger than the input
     for (int i = 0; i < block_size; ++i)
       for (int c = 0; c < n_ch; ++c)
         out->samples.push_back(int32_t(ch[c][i]));

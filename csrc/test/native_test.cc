@@ -104,10 +104,36 @@ static void test_trie_beam() {
   eet_trie_free(t);
 }
 
+extern "C" {
+void* eet_flac_decode(const char*);
+void eet_flac_free(void*);
+}
+
+static void test_flac_fuzz() {
+  // malformed inputs must fail cleanly (no OOB reads under ASan)
+  unsigned seed = 12345;
+  for (int trial = 0; trial < 200; ++trial) {
+    std::string path = "/tmp/eet_fuzz.flac";
+    std::ofstream f(path, std::ios::binary);
+    int len = 8 + (seed % 512);
+    std::string buf;
+    if (trial % 3 == 0) buf = "fLaC";     // valid magic, garbage body
+    for (int i = int(buf.size()); i < len; ++i) {
+      seed = seed * 1103515245u + 12345u;
+      buf.push_back(char(seed >> 16));
+    }
+    f.write(buf.data(), std::streamsize(buf.size()));
+    f.close();
+    void* h = eet_flac_decode(path.c_str());
+    if (h) eet_flac_free(h);               // decoded something — fine
+  }
+}
+
 int main() {
   test_tokenizer();
   test_lexicon();
   test_trie_beam();
+  test_flac_fuzz();
   if (failures) {
     fprintf(stderr, "%d failure(s)\n", failures);
     return 1;
