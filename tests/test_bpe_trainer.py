@@ -90,3 +90,25 @@ def test_cli_train_encode_decode(tmp_path):
                             f"--model={prefix}.model"],
                            capture_output=True, text=True)
     assert len(vocab.stdout.strip().split("\n")) == 64
+
+
+def test_cli_encode_matches_engine_on_reference_model():
+    """The native CLI must reproduce the engine's ids on the reference's
+    shipped BPE-256 model."""
+    import os
+    model = "/root/reference/sentencepiece/build/libri.bpe-256.model"
+    if not os.path.exists(model):
+        pytest.skip("reference artifacts not mounted")
+    from early_exit_tpu import _native
+    from early_exit_tpu.tokenizer.native import NativeBPE
+    cli = _native.build_cli()
+    eng = NativeBPE(model)
+    text = "THE QUICK BROWN FOX"
+    r = subprocess.run([cli, "encode", f"--model={model}"],
+                       input=text + "\n", capture_output=True, text=True)
+    ids = [int(x) for x in r.stdout.split()]
+    assert ids == eng.encode_as_ids(text)
+    d = subprocess.run([cli, "decode", f"--model={model}"],
+                       input=" ".join(map(str, ids)) + "\n",
+                       capture_output=True, text=True)
+    assert d.stdout.strip() == text

@@ -58,3 +58,17 @@ def test_latest_epoch(tmp_path):
     checkpoint.save_epoch(d, 0, params, state)
     checkpoint.save_epoch(d, 7, params, state)
     assert checkpoint.latest_epoch(d) == 7
+
+
+def test_avg_models_start_after_end_raises(tmp_path):
+    import pytest
+    params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
+    with pytest.raises(ValueError):
+        checkpoint.avg_models(str(tmp_path), 5, 2, params, state)
+
+
+def test_avg_models_empty_dir_raises(tmp_path):
+    import pytest
+    params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
+    with pytest.raises(FileNotFoundError):
+        checkpoint.avg_models(str(tmp_path), 0, 3, params, state)
