@@ -132,6 +132,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode", type=str, default="greedy",
                    choices=["greedy", "prefix_beam", "lexicon_beam"],
                    help="CTC decoding strategy at inference.")
+    p.add_argument("--eval_splits", type=str,
+                   default="test-clean,test-other",
+                   help="Comma-separated LibriSpeech splits to decode "
+                        "(inference.py evaluates test-clean and "
+                        "test-other; dev-* also valid).")
     p.add_argument("--exit_threshold", type=float, default=None,
                    help="Confidence-gated dynamic early exit: stop at the "
                         "first exit whose mean max-prob exceeds this "

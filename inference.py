@@ -244,7 +244,7 @@ def main(argv=None):
     lex = _load_lexicon(args)
 
     splits = (["synthetic"] if args.synthetic_data
-              else ["test-clean", "test-other"])
+              else [s for s in args.eval_splits.split(",") if s])
     for split in splits:
         print(split)
         if args.synthetic_data:
