@@ -44,10 +44,16 @@ class ConformerConfig:
     compute_dtype: str = "float32"
     attention_impl: str = "xla"   # "xla" | "pallas"
     remat: bool = False           # rematerialise each block in backward
+    residual_dtype: str = "float32"
 
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @property
+    def rdtype(self):
+        return (jnp.bfloat16 if self.residual_dtype == "bfloat16"
+                else jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -156,7 +162,11 @@ def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
         rng = jax.random.PRNGKey(0)
     r_ffn1, r_attn, r_conv, r_ffn2 = jax.random.split(rng, 4)
 
-    x = x + 0.5 * _ffn(params["ffn1"], x, cfg, r_ffn1, train)
+    # the residual stream lives in cfg.rdtype (bf16 halves HBM traffic);
+    # norms/softmax inside sublayers still compute in float32
+    rd = cfg.rdtype
+    x = x.astype(rd)
+    x = x + 0.5 * _ffn(params["ffn1"], x, cfg, r_ffn1, train).astype(rd)
 
     y = nn.layer_norm(params["attn"]["ln"], x)
     if cfg.attention_impl == "pallas":
@@ -168,16 +178,16 @@ def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
                    compute_dtype=cfg.dtype)
     if train:
         y = nn.dropout(y, cfg.dropout, r_attn, train=True)
-    x = x + y
+    x = x + y.astype(rd)
 
     y, new_bn = _conv_module(params["conv"], state["conv_bn"], x, mask,
                              cfg, r_conv, train)
-    x = x + y
+    x = x + y.astype(rd)
 
-    x = x + 0.5 * _ffn(params["ffn2"], x, cfg, r_ffn2, train)
-    x = nn.layer_norm(params["final_ln"], x)
+    x = x + 0.5 * _ffn(params["ffn2"], x, cfg, r_ffn2, train).astype(rd)
+    x = nn.layer_norm(params["final_ln"], x).astype(rd)
     if mask is not None:
-        x = jnp.where(mask[..., None], x, 0.0)
+        x = jnp.where(mask[..., None], x, jnp.zeros((), rd))
     return x, {"conv_bn": new_bn}
 
 

@@ -29,7 +29,8 @@ def _conformer_cfg(cfg: ModelConfig) -> conformer.ConformerConfig:
         d_model=cfg.d_model, n_heads=cfg.n_heads, d_ff=cfg.d_feed_forward,
         kernel_size=cfg.depthwise_kernel_size, dropout=cfg.drop_prob,
         conv_norm=cfg.conv_norm, compute_dtype=cfg.compute_dtype,
-        attention_impl=cfg.attention_impl, remat=cfg.remat)
+        attention_impl=cfg.attention_impl, remat=cfg.remat,
+        residual_dtype=(cfg.residual_dtype or cfg.compute_dtype))
 
 
 def init(key: jax.Array, cfg: ModelConfig):
@@ -67,7 +68,7 @@ def frontend_embed(params, feats, lengths, cfg: ModelConfig, *,
     else:
         sub_len = jnp.minimum(subsampling.subsampled_length(lengths, 2), t_sub)
     mask = jnp.arange(t_sub)[None, :] < sub_len[:, None]
-    x = jnp.where(mask[..., None], x, 0.0)
+    x = jnp.where(mask[..., None], x, 0.0).astype(cfg.rdtype)
     return x, sub_len, mask
 
 
