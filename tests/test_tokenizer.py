@@ -98,3 +98,15 @@ def test_char_tokenizer_roundtrip():
     assert ct.int_to_text(ids) == "^hello world$"
     assert ct.decode(ids) == "hello world"
     assert ct.char_to_id[" "] == 28 and ct.char_to_id["@"] == 0
+
+
+def test_bpe128_variant_model():
+    """The 128-piece variant artifact loads and round-trips too."""
+    path = os.path.join(BUILD, "libri.bpe-128.model")
+    if not os.path.exists(path):
+        pytest.skip("128 variant not mounted")
+    t = SentencePieceBPE(proto.parse_model(path))
+    assert t.get_piece_size() == 128
+    assert t.pad_id() == 126 or t.pad_id() == -1 or t.pad_id() >= 0
+    ids = t.encode_as_ids("THE QUICK BROWN FOX")
+    assert t.decode(ids) == "THE QUICK BROWN FOX"
