@@ -38,7 +38,7 @@ def main():
     from early_exit_tpu.ops import ctc, frontend
 
     acfg = AudioConfig()
-    cfg = ModelConfig()          # reference defaults, bfloat16 compute
+    cfg = ModelConfig(attn_softmax_dtype="bfloat16")  # reference dims, full bf16 inference
     params, state = early_conformer.init(jax.random.PRNGKey(0), cfg)
 
     B, SECONDS = 64, 10.0

@@ -43,8 +43,11 @@ class ModelConfig:
     attention_impl: str = "xla"           # "xla" | "pallas" (fused VMEM attention)
     # dtype of the residual stream between sublayers; None = compute_dtype.
     # bfloat16 halves activation HBM traffic (~1.65x faster forward on
-    # v5e); norms/softmax/log-probs still compute in float32.
+    # v5e); norms/log-probs still compute in float32.
     residual_dtype: str | None = None
+    # dtype of the materialised attention score/prob tensors; bfloat16
+    # saves another ~20% forward time (inference); float32 for training.
+    attn_softmax_dtype: str = "float32"
 
     @property
     def dtype(self):

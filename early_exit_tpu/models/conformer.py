@@ -45,6 +45,7 @@ class ConformerConfig:
     attention_impl: str = "xla"   # "xla" | "pallas"
     remat: bool = False           # rematerialise each block in backward
     residual_dtype: str = "float32"
+    attn_softmax_dtype: str = "float32"
 
     @property
     def dtype(self):
@@ -53,6 +54,11 @@ class ConformerConfig:
     @property
     def rdtype(self):
         return (jnp.bfloat16 if self.residual_dtype == "bfloat16"
+                else jnp.float32)
+
+    @property
+    def sm_dtype(self):
+        return (jnp.bfloat16 if self.attn_softmax_dtype == "bfloat16"
                 else jnp.float32)
 
 
@@ -175,7 +181,7 @@ def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
                              key_mask=mask, compute_dtype=cfg.dtype)
     else:
         y = nn.mha(params["attn"]["mha"], y, y, cfg.n_heads, key_mask=mask,
-                   compute_dtype=cfg.dtype)
+                   compute_dtype=cfg.dtype, softmax_dtype=cfg.sm_dtype)
     if train:
         y = nn.dropout(y, cfg.dropout, r_attn, train=True)
     x = x + y.astype(rd)

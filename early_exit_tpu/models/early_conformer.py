@@ -30,7 +30,8 @@ def _conformer_cfg(cfg: ModelConfig) -> conformer.ConformerConfig:
         kernel_size=cfg.depthwise_kernel_size, dropout=cfg.drop_prob,
         conv_norm=cfg.conv_norm, compute_dtype=cfg.compute_dtype,
         attention_impl=cfg.attention_impl, remat=cfg.remat,
-        residual_dtype=(cfg.residual_dtype or cfg.compute_dtype))
+        residual_dtype=(cfg.residual_dtype or cfg.compute_dtype),
+        attn_softmax_dtype=cfg.attn_softmax_dtype)
 
 
 def init(key: jax.Array, cfg: ModelConfig):

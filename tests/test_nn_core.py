@@ -86,3 +86,15 @@ def test_sinusoidal_pe_matches_reference_formula():
     np.testing.assert_allclose(
         pe[pos, 2 * i + 1],
         np.cos(pos * np.exp(2 * i * (-np.log(10000.0) / 16))), rtol=1e-5)
+
+
+def test_mha_bf16_softmax_close_to_fp32():
+    import jax.numpy as jnp
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 12, 32).astype(np.float32))
+    p = nn.mha_init(jax.random.PRNGKey(0), 32)
+    mask = jnp.asarray(np.arange(12)[None, :] < np.asarray([[12], [8]]))
+    a = nn.mha(p, x, x, 4, key_mask=mask)
+    b = nn.mha(p, x, x, 4, key_mask=mask, compute_dtype=jnp.bfloat16,
+               softmax_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.08)
