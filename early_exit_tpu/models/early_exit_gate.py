@@ -39,9 +39,13 @@ def exit_confidence(log_probs: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
-                threshold: float):
+                threshold: float, item_mask=None):
     """Returns (log_probs (B, T', V) of each item's chosen exit,
-    chosen_exit (B,) 1-based, sub_len (B,), n_exits_run ())."""
+    chosen_exit (B,) 1-based, sub_len (B,), n_exits_run ()).
+
+    item_mask: optional (B,) 0/1 — rows padding the batch to a bucket
+    size count as already satisfied (they have no valid frames, so their
+    confidence is 0 and would otherwise force every exit to run)."""
     x, sub_len, mask = frontend_embed(params, feats, lengths, cfg,
                                       rng=None, train=False)
     ccfg = _conformer_cfg(cfg)
@@ -81,9 +85,11 @@ def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
         chosen_exit = jnp.where(newly, e + 1, chosen_exit)
         return e + 1, h, chosen_lp, chosen_exit, jnp.logical_or(done, ok)
 
+    done0 = (jnp.zeros((B,), bool) if item_mask is None
+             else item_mask < 0.5)
     init = (jnp.zeros((), jnp.int32), x,
             jnp.zeros((B, Tp, V), jnp.float32),
             jnp.zeros((B,), jnp.int32),
-            jnp.zeros((B,), bool))
+            done0)
     e_final, _, chosen_lp, chosen_exit, _ = lax.while_loop(cond, body, init)
     return chosen_lp, chosen_exit, sub_len, e_final

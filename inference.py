@@ -73,8 +73,8 @@ def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
     stops at the first exit whose confidence clears the threshold."""
     from early_exit_tpu.models import early_exit_gate
     thr = float(args.exit_threshold)
-    gated = jax.jit(lambda p, s, f, l: early_exit_gate.gated_apply(
-        p, s, f, l, model_cfg, threshold=thr))
+    gated = jax.jit(lambda p, s, f, l, im: early_exit_gate.gated_apply(
+        p, s, f, l, model_cfg, threshold=thr, item_mask=im))
     decode = jax.jit(lambda lp, l: ctc_ops.greedy_decode(
         lp, l, blank=model_cfg.blank_id))
     acc = WerAccumulator()
@@ -82,7 +82,7 @@ def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
     for batch in pipe.epoch(0):
         lp, chosen, sub_len, n_run = gated(
             state["params"], state["model_state"], batch["feats"],
-            batch["feat_lengths"])
+            batch["feat_lengths"], batch["item_mask"])
         exits_run.append(int(n_run))
         toks, n = decode(lp, sub_len)
         mask = np.asarray(batch["item_mask"]).astype(bool)

@@ -59,3 +59,17 @@ def test_confidence_formula():
     mask = jnp.asarray([[True, True, False]])
     conf = early_exit_gate.exit_confidence(lp, mask)
     np.testing.assert_allclose(float(conf[0]), (0.9 + 0.6) / 2, rtol=1e-5)
+
+
+def test_item_mask_padding_rows_do_not_block_gate():
+    cfg = TINY
+    params, state = early_conformer.init(jax.random.PRNGKey(0), cfg)
+    feats, lengths = _batch(cfg)
+    # row 1 is a padding row with no valid frames
+    lengths = jnp.asarray([61, 0])
+    item_mask = jnp.asarray([1.0, 0.0])
+    lp, chosen, sub_len, n_run = early_exit_gate.gated_apply(
+        params, state, feats, lengths, cfg, threshold=0.0,
+        item_mask=item_mask)
+    assert int(n_run) == 1            # padding row doesn't force more exits
+    assert int(chosen[0]) == 1
