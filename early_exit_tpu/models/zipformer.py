@@ -88,7 +88,7 @@ def apply(params, state, feats, lengths, cfg: ModelConfig, *,
         base_len = jnp.minimum(subsampling.subsampled_length(lengths, 1),
                                t_sub)
     base_mask = jnp.arange(t_sub)[None, :] < base_len[:, None]
-    x = jnp.where(base_mask[..., None], x, 0.0)
+    x = jnp.where(base_mask[..., None], x, 0.0).astype(ccfg.rdtype)
 
     # two full-rate blocks
     x, new_pre = conformer.stack_apply(params["pre"], state["pre"], x,

@@ -125,3 +125,15 @@ def test_zipformer_trains():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_zoo_bfloat16_forward():
+    """All three families run with the bf16 residual-stream defaults."""
+    import numpy as _np
+    for cfg in (dataclasses.replace(SPLIT_TINY, compute_dtype="bfloat16"),
+                dataclasses.replace(ZIP_TINY, compute_dtype="bfloat16")):
+        mod = build_model(cfg)
+        params, state = mod.init(jax.random.PRNGKey(0), cfg)
+        feats, lengths = _feats(cfg)
+        logp, sub_len, _ = mod.apply(params, state, feats, lengths, cfg)
+        assert _np.isfinite(_np.asarray(logp, _np.float32)).all()
