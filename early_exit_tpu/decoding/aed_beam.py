@@ -130,6 +130,32 @@ def beam_search(dec_params, out_lin, emb, final_ln, memory,
     return tokens, lengths, scores, best_idx
 
 
+def beam_search_exit_batch(params, memories, min_lengths, cfg: ModelConfig,
+                           *, n_exit: int, beam_size: int, max_length: int,
+                           pen_alpha: float = 1.0):
+    """Batched beam decode: all utterances of a bucket at once (the
+    reference — and `beam_search_exit` — decode one utterance at a time,
+    inference.py:27-51; vmapping the whole search across utterances keeps
+    the MXU fed).
+
+    memories: (B, T', D) encoder states of exit `n_exit`;
+    min_lengths: (B,) per-utterance minimum lengths (the max_length is
+    shared — bucket it at the caller).
+    Returns (tokens (B, beam, max_length+1), lengths (B, beam),
+             scores (B, beam), best_idx (B,))."""
+    e = n_exit - 1
+    dec_params = jax.tree_util.tree_map(lambda a: a[e], params["decoders"])
+    out_lin = jax.tree_util.tree_map(lambda a: a[e], params["out_linear"])
+
+    def one(memory, min_len):
+        return beam_search(dec_params, out_lin, params["emb"],
+                           params["final_ln"], memory[None], cfg,
+                           beam_size=beam_size, max_length=max_length,
+                           min_length=min_len, pen_alpha=pen_alpha)
+
+    return jax.vmap(one)(memories, min_lengths)
+
+
 def trim_hypothesis(tokens, length, *, eos_id: int, bos_id: int):
     """Host-side helper: (max_len+1,) padded lane -> python id list without
     SOS; keeps EOS if present (the reference's best_combined includes the

@@ -181,39 +181,55 @@ def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
 
 
 def run_aed(model, model_cfg, state, pipe, split, tokenizer, lex, args):
+    """Two structural speedups over the reference (inference.py:27-51):
+    the trunk runs ONCE for all exits (the reference re-runs `_encoder_`
+    from scratch per exit, O(n²) trunk work), and the beam search is
+    batched across the bucket's utterances with a KV cache (the reference
+    decodes one utterance at a time re-running the decoder per step)."""
     from early_exit_tpu.models import full_conformer
+    encode = jax.jit(lambda p, s, f, l: full_conformer.encode(
+        p, s, f, l, model_cfg, train=False)[:2])
     wers = [WerAccumulator() for _ in range(model_cfg.n_enc_exits)]
     for batch in pipe.epoch(0):
         mask = np.asarray(batch["item_mask"]).astype(bool)
         labels = np.asarray(batch["labels"])
         lab_len = np.asarray(batch["label_lengths"])
-        feats = batch["feats"]
-        flens = batch["feat_lengths"]
-        for b in range(labels.shape[0]):
-            if not mask[b]:
-                continue
-            ref = tokenizer.decode(
+        exit_hidden, sub_len = encode(
+            state["params"], state["model_state"], batch["feats"],
+            batch["feat_lengths"])
+        B = labels.shape[0]
+        refs = []
+        max_lens, min_lens = [], []
+        for b in range(B):
+            n_frames = int(batch["feat_lengths"][b])
+            ml, mn = _aed_max_lengths(n_frames)
+            max_lens.append(ml)
+            min_lens.append(mn)
+            refs.append(tokenizer.decode(
                 [int(t) for t in labels[b][1:lab_len[b]]]).lower()
-            print(split, "EXPECTED:", ref)
-            n_frames = int(flens[b])
-            max_len, min_len = _aed_max_lengths(n_frames)
-            max_len = _bucket(max_len)
-            for n in range(1, model_cfg.n_enc_exits + 1):
-                mem, _ = full_conformer.encode_exit(
-                    state["params"], state["model_state"],
-                    feats[b:b + 1], flens[b:b + 1], model_cfg, n)
-                toks, lens, scores, best = aed_beam.beam_search_exit(
-                    state["params"], mem, model_cfg, n_exit=n,
-                    beam_size=args.beam_size, max_length=max_len,
-                    min_length=min_len, pen_alpha=args.pen_alpha)
+                if mask[b] else None)
+            if mask[b]:
+                print(split, "EXPECTED:", refs[b])
+        max_len = _bucket(max(max_lens))
+        min_len_arr = jnp.asarray(min_lens)
+        for n in range(1, model_cfg.n_enc_exits + 1):
+            toks, lens, scores, best = aed_beam.beam_search_exit_batch(
+                state["params"], exit_hidden[n - 1], min_len_arr,
+                model_cfg, n_exit=n, beam_size=args.beam_size,
+                max_length=max_len, pen_alpha=args.pen_alpha)
+            toks, lens, best = (np.asarray(toks), np.asarray(lens),
+                                np.asarray(best))
+            for b in range(B):
+                if not mask[b]:
+                    continue
                 ids = aed_beam.trim_hypothesis(
-                    np.asarray(toks[best]), int(lens[best]),
+                    toks[b][best[b]], int(lens[b][best[b]]),
                     eos_id=model_cfg.eos_id, bos_id=model_cfg.bos_id)
                 hyp = tokenizer.decode(ids).lower()
                 if lex is not None:
                     hyp = lex.apply(hyp)
                 print(split, "BEAM_OUT_", n, ":", hyp)
-                wers[n - 1].add(ref, hyp)
+                wers[n - 1].add(refs[b], hyp)
     for e, acc in enumerate(wers):
         print(f"{split} WER exit {e + 1}: {100 * acc.value:.2f}% "
               f"({acc.utterances} utts)")

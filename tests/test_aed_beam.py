@@ -83,3 +83,21 @@ def test_eos_retires_beam():
                                    int(lens[best]), eos_id=cfg.eos_id,
                                    bos_id=cfg.bos_id)
     assert out[-1] == cfg.eos_id
+
+
+def test_batched_beam_matches_per_utterance():
+    cfg = TINY
+    params, state = full_conformer.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(7)
+    mems = jnp.asarray(rng.randn(3, 11, cfg.d_model).astype(np.float32))
+    min_lens = jnp.asarray([2, 3, 2])
+    bt, bl, bs, bbest = aed_beam.beam_search_exit_batch(
+        params, mems, min_lens, cfg, n_exit=1, beam_size=4, max_length=10)
+    for b in range(3):
+        t, l, s, best = aed_beam.beam_search_exit(
+            params, mems[b:b + 1], cfg, n_exit=1, beam_size=4,
+            max_length=10, min_length=int(min_lens[b]))
+        np.testing.assert_array_equal(np.asarray(bt[b]), np.asarray(t))
+        np.testing.assert_allclose(np.asarray(bs[b]), np.asarray(s),
+                                   rtol=1e-4)
+        assert int(bbest[b]) == int(best)
