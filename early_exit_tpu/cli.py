@@ -141,6 +141,34 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Confidence-gated dynamic early exit: stop at the "
                         "first exit whose mean max-prob exceeds this "
                         "(beyond-reference feature).")
+
+    # performance profile (TPU-native). "auto" resolves per entry point:
+    # training keeps fp32 attention softmax + FFT mel; inference uses the
+    # benched bf16 profile (attn softmax bf16, DFT-matmul mel).
+    p.add_argument("--attention_impl", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="Attention kernel: XLA-fused or Pallas VMEM.")
+    p.add_argument("--remat", type=_bool, default=False,
+                   help="jax.checkpoint each conformer block (saves HBM "
+                        "on backward at the cost of recompute).")
+    p.add_argument("--residual_dtype", type=str, default="auto",
+                   choices=["auto", "bfloat16", "float32"],
+                   help="Residual-stream dtype between sublayers; auto = "
+                        "compute_dtype (bf16 halves activation HBM "
+                        "traffic).")
+    p.add_argument("--attn_softmax_dtype", type=str, default="auto",
+                   choices=["auto", "bfloat16", "float32"],
+                   help="Dtype of materialised attention scores/probs; "
+                        "auto = fp32 for training, bf16 for inference.")
+    p.add_argument("--fast_rng", type=_bool, default=True,
+                   help="Use the hardware-friendly rbg PRNG for dropout "
+                        "masks (threefry mask generation costs ~40%% of a "
+                        "train step on TPU).")
+    p.add_argument("--mel_method", type=str, default="auto",
+                   choices=["auto", "fft", "dft"],
+                   help="Log-mel frontend: XLA rFFT or real-DFT matmuls; "
+                        "auto = fft for training, dft for inference "
+                        "(faster on the MXU).")
     return p
 
 
@@ -161,9 +189,33 @@ def load_tokenizer_from_args(args):
     return CharTokenizer()
 
 
-def get_args(argv=None):
-    """Returns (args, model_cfg, train_cfg, audio_cfg, tokenizer)."""
-    args = get_parser().parse_args(argv)
+def get_args(argv=None, mode: str = "train"):
+    """Returns (args, model_cfg, train_cfg, audio_cfg, tokenizer).
+
+    mode ("train" | "infer") resolves the "auto" performance-profile
+    flags: inference defaults to the benched bf16 profile (bf16 attention
+    softmax, DFT-matmul mel), training to fp32 softmax + FFT mel.
+    """
+    parser = get_parser()
+    args = parser.parse_args(argv)
+
+    # accepted-but-unused parity flags: warn when set to a non-default
+    # value instead of silently ignoring them (the reference parses
+    # --init_lr but Noam sets the LR, util/conf.py:385-392 + train.py:261;
+    # --n_threads maps to torch.set_num_threads which has no JAX analogue)
+    for dead in ("n_threads", "init_lr"):
+        if getattr(args, dead) != parser.get_default(dead):
+            print(f"warning: --{dead} is accepted for reference-CLI "
+                  f"parity but has no effect here")
+
+    if args.attn_softmax_dtype == "auto":
+        args.attn_softmax_dtype = ("float32" if mode == "train"
+                                   else "bfloat16")
+    if args.mel_method == "auto":
+        args.mel_method = "fft" if mode == "train" else "dft"
+    residual_dtype = (None if args.residual_dtype == "auto"
+                      else args.residual_dtype)
+
     tokenizer = load_tokenizer_from_args(args)
 
     if args.bpe:
@@ -195,7 +247,10 @@ def get_args(argv=None):
         n_mels=args.n_mels, vocab_size=vocab, blank_id=blank_id,
         pad_id=pad_id, bos_id=bos_id, eos_id=eos_id,
         compute_dtype=args.compute_dtype, conv_norm=args.conv_norm,
-        length_mode=args.length_mode)
+        length_mode=args.length_mode,
+        attention_impl=args.attention_impl, remat=args.remat,
+        residual_dtype=residual_dtype,
+        attn_softmax_dtype=args.attn_softmax_dtype)
     train_cfg = TrainConfig(
         batch_size=args.batch_size, n_batch_split=args.n_batch_split,
         n_epochs=args.n_epochs, warmup=args.warmup,
@@ -205,11 +260,12 @@ def get_args(argv=None):
         aed_ce_weight=args.aed_ce_weight,
         aed_ctc_weight=args.aed_ctc_weight,
         ctc_compat_padded_lengths=args.ctc_compat_padded_lengths,
+        fast_rng=args.fast_rng,
         distill=args.distill, distill_weight=args.distill_weight,
         distill_temperature=args.distill_temperature,
         seed=args.seed)
     audio_cfg = AudioConfig(
         sample_rate=args.sample_rate, n_fft=args.n_fft,
         win_length=args.win_length, hop_length=args.hop_length,
-        n_mels=args.n_mels)
+        n_mels=args.n_mels, mel_method=args.mel_method)
     return args, model_cfg, train_cfg, audio_cfg, tokenizer

@@ -90,3 +90,7 @@ class AudioConfig:
     win_length: int = 320
     hop_length: int = 160
     n_mels: int = 80
+    # "fft": jnp.fft.rfft lowering; "dft": real-DFT as two matmuls —
+    # ~25% faster on TPU v5e MXU but embeds the DFT basis as an HLO
+    # constant (slow first remote compile; amortised by the cache)
+    mel_method: str = "fft"

@@ -30,13 +30,14 @@ from early_exit_tpu.ops import frontend
 
 
 @functools.lru_cache(maxsize=4)
-def _jit_mel(n_fft: int, win: int, hop: int, n_mels: int, sr: int):
+def _jit_mel(n_fft: int, win: int, hop: int, n_mels: int, sr: int,
+             method: str):
     acfg = AudioConfig(sample_rate=sr, n_fft=n_fft, win_length=win,
                        hop_length=hop, n_mels=n_mels)
 
     @jax.jit
     def f(wav):
-        return frontend.mel_spectrogram(wav, acfg)
+        return frontend.mel_spectrogram(wav, acfg, method=method)
     return f
 
 
@@ -64,7 +65,7 @@ class Pipeline:
         self.workers = max(workers, 1)
         self._mel = _jit_mel(audio_cfg.n_fft, audio_cfg.win_length,
                              audio_cfg.hop_length, audio_cfg.n_mels,
-                             audio_cfg.sample_rate)
+                             audio_cfg.sample_rate, audio_cfg.mel_method)
 
     # -- per-epoch iteration ------------------------------------------------
     def batches_per_epoch(self) -> int:
@@ -127,19 +128,25 @@ class Pipeline:
         bs = self.tcfg.batch_size
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(self.workers) if self.workers > 1 else None
-        for start in range(0, len(idx) - bs + 1, bs):
-            ids = [int(i) for i in idx[start:start + bs]]
+        try:
+            # the trailing partial batch is kept (the reference DataLoader
+            # defaults to drop_last=False); static bucket shapes absorb it
+            for start in range(0, len(idx), bs):
+                ids = [int(i) for i in idx[start:start + bs]]
+                if pool is not None:
+                    items = list(pool.map(self._load_item, ids))
+                else:
+                    items = [self._load_item(i) for i in ids]
+                chunk = [it for it in items if it is not None]
+                if not chunk:
+                    continue
+                sizes = [len(w) for w, _, _ in chunk]
+                splits = bucketing.split_equal_total(
+                    chunk, sizes, self.tcfg.n_batch_split)
+                yield [s for s in splits if s]
+        finally:
             if pool is not None:
-                items = list(pool.map(self._load_item, ids))
-            else:
-                items = [self._load_item(i) for i in ids]
-            chunk = [it for it in items if it is not None]
-            if not chunk:
-                continue
-            sizes = [len(w) for w, _, _ in chunk]
-            splits = bucketing.split_equal_total(chunk, sizes,
-                                                 self.tcfg.n_batch_split)
-            yield [s for s in splits if s]
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         """Yields device-ready sub-batches, prefetched by a host thread."""

@@ -236,7 +236,10 @@ def run_aed(model, model_cfg, state, pipe, split, tokenizer, lex, args):
 
 
 def main(argv=None):
-    args, model_cfg, train_cfg, audio_cfg, tokenizer = get_args(argv)
+    # mode="infer" resolves the auto performance profile to the benched
+    # bf16 path (attn softmax bf16, DFT mel) — CLI-reachable headline perf
+    args, model_cfg, train_cfg, audio_cfg, tokenizer = get_args(
+        argv, mode="infer")
     model = build_model(model_cfg)
     rng = jax.random.PRNGKey(args.seed)
     params, model_state = model.init(rng, model_cfg)

@@ -152,28 +152,36 @@ def main(argv=None):
               f"(step {int(state['step'])})")
 
     best_loss = float("inf")
+    log_every = 50
     for epoch in range(start_epoch, train_cfg.n_epochs):
         t0 = time.time()
-        epoch_loss, n_batches = 0.0, 0
+        # Metrics stay on device between host fetches: a scalar fetch is a
+        # full host<->device round-trip (~26 ms over the axon relay, on par
+        # with the step itself), so fetching the loss every step would
+        # halve real throughput. The loss accumulates device-side and
+        # loss/grad-norm land on the host only every `log_every` steps.
+        loss_sum = jnp.zeros((), jnp.float32)
+        n_batches = 0
+        host_step = int(state["step"])
         for i, batch in enumerate(pipe.epoch(epoch)):
             state, metrics = step_fn(state, place_batch(batch), step_rng)
-            loss = float(metrics["loss"])
-            epoch_loss += loss
+            loss_sum = loss_sum + metrics["loss"]
             n_batches += 1
-            step_i = int(metrics["step"])
-            lr = float(schedule(step_i - 1))
-            if i % 50 == 0:
-                print(f"step {step_i} loss {loss:.4f} "
-                      f"grad_norm {float(metrics['grad_norm']):.3f} "
-                      f"RATE: {lr:.6e}")
-            logger.log(step_i, {"loss": loss, "lr": lr,
-                                "grad_norm": float(metrics["grad_norm"])})
+            host_step += 1
+            if i % log_every == 0:
+                loss = float(metrics["loss"])
+                gnorm = float(metrics["grad_norm"])
+                lr = float(schedule(host_step - 1))
+                print(f"step {host_step} loss {loss:.4f} "
+                      f"grad_norm {gnorm:.3f} RATE: {lr:.6e}")
+                logger.log(host_step, {"loss": loss, "lr": lr,
+                                       "grad_norm": gnorm})
             if i % 500 == 0 and train_cfg.decoder_mode == "ctc":
                 _sample_decode(model, model_cfg, state, batch, tokenizer,
                                args)
         if n_batches == 0:
             sys.exit("empty epoch — no usable utterances")
-        loss_total = epoch_loss / n_batches
+        loss_total = float(loss_sum) / n_batches
         dt = time.time() - t0
         print(f"LOSS_TOTAL-{epoch} := {loss_total:.4f}  ({dt:.1f}s, "
               f"{n_batches} sub-batches)")
