@@ -31,20 +31,21 @@ class DecoderSuite:
     def __init__(self, model_cfg: ModelConfig, *, beam_size: int = 10,
                  pen_alpha: float = 1.0,
                  blank_skip_threshold: float = 0.95,
-                 word_score: float = 0.0,
+                 word_score: float = 0.0, nbest: int = 1,
                  lexicon_path: Optional[str] = None,
                  tokens_path: Optional[str] = None):
         self.cfg = model_cfg
         self.beam_size = beam_size
         self.pen_alpha = pen_alpha
         self.blank_skip_threshold = blank_skip_threshold
+        self.nbest = nbest
         self._greedy = jax.jit(
             lambda lp, l: ctc_ops.greedy_decode(lp, l,
                                                 blank=model_cfg.blank_id))
         self._prefix = jax.jit(
             lambda lp, l: prefix_beam.prefix_beam_search(
                 lp, l, beam_size=beam_size, blank=model_cfg.blank_id,
-                blank_skip_threshold=blank_skip_threshold))
+                blank_skip_threshold=blank_skip_threshold, nbest=nbest))
         self._trie = None
         if lexicon_path and tokens_path:
             from early_exit_tpu.decoding.lexicon_beam import (
@@ -59,7 +60,8 @@ class DecoderSuite:
         return self._greedy(log_probs, lengths)
 
     def ctc_prefix(self, log_probs, lengths):
-        """Batched prefix beam (blank-skip): -> (tokens, n_tokens, scores)."""
+        """Batched prefix beam (blank-skip): -> (tokens, n_tokens, scores);
+        with nbest>1 each has a leading (B, nbest, ...) rank axis."""
         return self._prefix(log_probs, lengths)
 
     def ctc_lexicon(self, log_probs, lengths=None) -> List[str]:

@@ -8,14 +8,17 @@ jittable, batch-vectorised implementation:
 - per frame, each lane yields 1 "stay" candidate (blank + repeat-last
   transitions, prefix unchanged) and `topn` "extend" candidates (the
   frame's top-N non-blank tokens), giving beam×(topn+1) candidates
-- equal prefixes are merged in the log-semiring via a rolling-hash
-  equality matrix (no host hash maps — an O(C²) mask + logsumexp)
+- equal prefixes are merged in the log-semiring via an equality matrix
+  (no host hash maps — an O(C²) mask + logsumexp); the merge key is TWO
+  independent 32-bit rolling hashes plus (length, last token), so a
+  false merge needs a simultaneous collision in both hash streams
+  (~2⁻⁶⁴ per candidate pair — vanishing at beam×topn scale)
 - frames whose blank log-prob exceeds log(blank_skip_threshold) are
   treated as pure blank and skipped (the cuda_ctc_decoder fast path)
 - `lax.scan` over time; per-item input lengths freeze the carry
 
-Returns the nbest=1 hypothesis per batch item (the only mode the
-reference uses).
+Supports nbest>1 (the reference's cuda_ctc_decoder exposes nbest,
+util/beam_infer.py:79); nbest=1 keeps the legacy return shapes.
 """
 
 from __future__ import annotations
@@ -28,7 +31,12 @@ import jax.numpy as jnp
 from jax import lax
 
 NEG = -1e30
+# two independent rolling-hash streams (multiplier, token offset):
+# h <- h*M + (tok + A), in uint32 wraparound arithmetic
 _HASH_MULT = jnp.uint32(1000003)
+_HASH_ADD = jnp.uint32(1)
+_HASH_MULT2 = jnp.uint32(2654435761)   # Knuth's 2^32/phi
+_HASH_ADD2 = jnp.uint32(0x9E3779B9)
 
 
 def _logaddexp(a, b):
@@ -38,31 +46,38 @@ def _logaddexp(a, b):
 def prefix_beam_search(log_probs: jax.Array, lengths: jax.Array, *,
                        beam_size: int = 10, blank: int = 0,
                        blank_skip_threshold: float = 0.95,
-                       topn: int = 16, max_out: int | None = None):
+                       topn: int = 16, max_out: int | None = None,
+                       nbest: int = 1):
     """log_probs: (B, T, V) log-softmax emissions; lengths: (B,).
 
-    Returns (tokens (B, max_out) blank-padded, n_tokens (B,),
-    scores (B,) total log-prob of the best prefix)."""
+    nbest=1 (default): returns (tokens (B, max_out) blank-padded,
+    n_tokens (B,), scores (B,) total log-prob of the best prefix).
+    nbest>1: returns (tokens (B, nbest, max_out), n_tokens (B, nbest),
+    scores (B, nbest)), best first."""
     B, T, V = log_probs.shape
     if max_out is None:
         max_out = T
     topn = min(topn, V - 1)
+    nbest = min(nbest, beam_size)
     fn = partial(_prefix_beam_single, beam_size=beam_size, blank=blank,
                  log_skip=math.log(blank_skip_threshold), topn=topn,
-                 max_out=max_out)
-    return jax.vmap(fn)(log_probs, lengths)
+                 max_out=max_out, nbest=nbest)
+    toks, n, scores = jax.vmap(fn)(log_probs, lengths)
+    if nbest == 1:
+        return toks[:, 0], n[:, 0], scores[:, 0]
+    return toks, n, scores
 
 
 def _prefix_beam_single(lp: jax.Array, length: jax.Array, *, beam_size: int,
                         blank: int, log_skip: float, topn: int,
-                        max_out: int):
+                        max_out: int, nbest: int = 1):
     T, V = lp.shape
     K = beam_size
     C = K * (topn + 1)
 
     prefix0 = jnp.full((K, max_out), blank, jnp.int32)
     plen0 = jnp.zeros((K,), jnp.int32)
-    hash0 = jnp.zeros((K,), jnp.uint32)
+    hash0 = jnp.zeros((K, 2), jnp.uint32)
     last0 = jnp.full((K,), -1, jnp.int32)
     p_b0 = jnp.full((K,), NEG, jnp.float32).at[0].set(0.0)
     p_nb0 = jnp.full((K,), NEG, jnp.float32)
@@ -111,11 +126,17 @@ def _prefix_beam_single(lp: jax.Array, length: jax.Array, *, beam_size: int,
 
             c_plen = plen[parent] + is_ext.astype(jnp.int32)
             c_plen = jnp.minimum(c_plen, max_out)
-            c_hash = jnp.where(
-                is_ext,
-                phash[parent] * _HASH_MULT
-                + (ext_tok.astype(jnp.uint32) + 1),
-                phash[parent])
+            tok_u32 = ext_tok.astype(jnp.uint32)
+            c_hash = jnp.stack([
+                jnp.where(is_ext,
+                          phash[parent, 0] * _HASH_MULT
+                          + (tok_u32 + _HASH_ADD),
+                          phash[parent, 0]),
+                jnp.where(is_ext,
+                          phash[parent, 1] * _HASH_MULT2
+                          + (tok_u32 + _HASH_ADD2),
+                          phash[parent, 1]),
+            ], axis=1)                                      # (C, 2)
             c_last = jnp.where(is_ext, ext_tok, last[parent])
 
             # suppress extensions that would overflow the buffer
@@ -130,8 +151,9 @@ def _prefix_beam_single(lp: jax.Array, length: jax.Array, *, beam_size: int,
                                  & ~overflow[:, None],
                                  ext_tok[:, None], c_prefix)
 
-            # --- merge identical prefixes (hash, len, last) in log space
-            key_eq = ((c_hash[:, None] == c_hash[None, :])
+            # --- merge identical prefixes (2×hash, len, last) in log space
+            key_eq = ((c_hash[:, None, 0] == c_hash[None, :, 0])
+                      & (c_hash[:, None, 1] == c_hash[None, :, 1])
                       & (c_plen[:, None] == c_plen[None, :])
                       & (c_last[:, None] == c_last[None, :]))
             # combined scores summed over the equivalence class
@@ -161,5 +183,5 @@ def _prefix_beam_single(lp: jax.Array, length: jax.Array, *, beam_size: int,
     (prefix, plen, phash, last, p_b, p_nb), _ = lax.scan(
         step, carry, (lp, jnp.arange(T)))
     total = _logaddexp(p_b, p_nb)
-    best = jnp.argmax(total)
-    return prefix[best], plen[best], total[best]
+    scores, order = lax.top_k(total, nbest)     # lanes hold distinct prefixes
+    return prefix[order], plen[order], scores

@@ -7,9 +7,11 @@ from early_exit_tpu.decoding import prefix_beam
 from early_exit_tpu.ops import ctc
 
 
-def _ref_prefix_beam(lp, beam_size, blank=0, blank_skip=0.95):
+def _ref_prefix_beam_nbest(lp, beam_size, blank=0, blank_skip=0.95,
+                           nbest=1):
     """Clean-room dict-based CTC prefix beam search (standard algorithm)
-    as a test oracle; no top-N token pruning."""
+    as a test oracle; no top-N token pruning. Returns the nbest
+    (prefix list, score) pairs, best first."""
     T, V = lp.shape
     NEG = -1e30
 
@@ -46,8 +48,14 @@ def _ref_prefix_beam(lp, beam_size, blank=0, blank_skip=0.95):
                 add(prefix + (c,), NEG, base + lp[t, c])
         beams = dict(sorted(new.items(),
                             key=lambda kv: -lse(*kv[1]))[:beam_size])
-    best = max(beams.items(), key=lambda kv: lse(*kv[1]))
-    return list(best[0]), lse(*best[1])
+    ranked = sorted(beams.items(), key=lambda kv: -lse(*kv[1]))
+    return [(list(p), lse(*s)) for p, s in ranked[:nbest]]
+
+
+def _ref_prefix_beam(lp, beam_size, blank=0, blank_skip=0.95):
+    (toks, score), = _ref_prefix_beam_nbest(lp, beam_size, blank,
+                                            blank_skip, nbest=1)
+    return toks, score
 
 
 def _rand_lp(T, V, seed, peaky=False):
@@ -125,3 +133,133 @@ def test_batch_vectorised():
         ref_toks, _ = _ref_prefix_beam(lps[b][:int([10, 10, 7][b])], 4)
         got = [int(t) for t in np.asarray(toks[b])[:int(n[b])]]
         assert got == ref_toks
+
+
+def test_nbest_matches_oracle_ranking():
+    """nbest>1 returns the oracle's top-n distinct prefixes, best first."""
+    T, V, K, N = 12, 6, 6, 3
+    for seed in (0, 1, 2):
+        lp = _rand_lp(T, V, seed)
+        toks, n, scores = prefix_beam.prefix_beam_search(
+            jnp.asarray(lp[None]), jnp.asarray([T]), beam_size=K,
+            topn=V - 1, nbest=N)
+        assert toks.shape == (1, N, T) and scores.shape == (1, N)
+        ref = _ref_prefix_beam_nbest(lp, K, nbest=N)
+        assert len(ref) >= N
+        s = np.asarray(scores[0])
+        assert np.all(np.diff(s) <= 1e-6), s            # descending
+        for r in range(N):
+            got = [int(t) for t in np.asarray(toks[0, r])[:int(n[0, r])]]
+            assert got == ref[r][0], (seed, r, got, ref[r][0])
+            np.testing.assert_allclose(s[r], ref[r][1], rtol=1e-4)
+
+
+def test_full_vocab_v256_matches_oracle():
+    """Production vocab: V=256, no token pruning, exact oracle equality
+    (VERDICT r1 item 4)."""
+    T, V, K = 20, 256, 4
+    for seed in (0, 1):
+        lp = _rand_lp(T, V, seed)
+        toks, n, score = prefix_beam.prefix_beam_search(
+            jnp.asarray(lp[None]), jnp.asarray([T]), beam_size=K,
+            topn=V - 1)
+        ref_toks, ref_score = _ref_prefix_beam(lp, K)
+        got = [int(t) for t in np.asarray(toks[0])[:int(n[0])]]
+        assert got == ref_toks, (seed, got, ref_toks)
+        np.testing.assert_allclose(float(score[0]), ref_score, rtol=1e-4)
+
+
+def test_trained_model_v256_top16_pruning_lossless():
+    """On emissions from a trained V=256 model (peaky CTC posteriors),
+    the production decode config (topn=16) must equal both the unpruned
+    beam and the host oracle (VERDICT r1 item 4: 'validate at V=256
+    against a host-side reference prefix-beam oracle on a trained BPE
+    model')."""
+    import jax
+
+    from early_exit_tpu.configs import ModelConfig, TrainConfig
+    from early_exit_tpu.models import early_conformer
+    from early_exit_tpu.optim import make_optimizer
+    from early_exit_tpu.training import trainer
+
+    cfg = ModelConfig(d_model=32, n_heads=4, d_feed_forward=64,
+                      n_enc_exits=1, n_enc_layers_per_exit=1,
+                      depthwise_kernel_size=7, vocab_size=256, n_mels=8,
+                      compute_dtype="float32", drop_prob=0.0)
+    tcfg = TrainConfig(ctc_compat_padded_lengths=False, fast_rng=False)
+    opt = make_optimizer(cfg.d_model, warmup=20)
+    state = trainer.create_train_state(jax.random.PRNGKey(0),
+                                       early_conformer, cfg, opt)
+    step = jax.jit(trainer.make_train_step(early_conformer, cfg, tcfg, opt))
+
+    # one fixed batch, overfit until posteriors are peaky
+    B, T, L = 4, 75, 7
+    rng = np.random.RandomState(0)
+    batch = {
+        "feats": jnp.asarray(rng.randn(B, T, cfg.n_mels).astype(np.float32)),
+        "feat_lengths": jnp.asarray([T] * B),
+        "labels": jnp.asarray(rng.randint(3, 250, size=(B, L))),
+        "label_lengths": jnp.asarray([L] * B),
+    }
+    for _ in range(60):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+
+    logp, sub_len, _ = early_conformer.apply(
+        state["params"], state["model_state"], batch["feats"],
+        batch["feat_lengths"], cfg, train=False)
+    lp = np.asarray(logp[0], np.float32)            # (B, T', 256)
+    sl = np.asarray(sub_len)
+
+    toks_p, n_p, s_p = prefix_beam.prefix_beam_search(
+        jnp.asarray(lp), jnp.asarray(sl), beam_size=4, topn=16)
+    toks_f, n_f, s_f = prefix_beam.prefix_beam_search(
+        jnp.asarray(lp), jnp.asarray(sl), beam_size=4, topn=255)
+    for b in range(B):
+        pruned = [int(t) for t in np.asarray(toks_p[b])[:int(n_p[b])]]
+        full = [int(t) for t in np.asarray(toks_f[b])[:int(n_f[b])]]
+        ref_toks, ref_score = _ref_prefix_beam(lp[b][:sl[b]], 4)
+        assert pruned == full == ref_toks, (b, pruned, full, ref_toks)
+        np.testing.assert_allclose(float(s_f[b]), ref_score, rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_dual_hash_collision_resistance():
+    """The merge key is two independent 32-bit rolling hashes + (len,
+    last). Simulate both streams over many random prefixes sharing length
+    and last token: single-stream collisions are expected at this scale
+    (the round-1 scheme's weakness) while dual-stream collisions must not
+    occur."""
+    M1, A1 = 1000003, 1
+    M2, A2 = 2654435761, 0x9E3779B9
+    MASK = (1 << 32) - 1
+
+    def hashes(prefix):
+        h1 = h2 = 0
+        for tok in prefix:
+            h1 = (h1 * M1 + tok + A1) & MASK
+            h2 = (h2 * M2 + tok + A2) & MASK
+        return h1, h2
+
+    rng = np.random.RandomState(0)
+    n, L, last = 200_000, 10, 7
+    prefixes = rng.randint(1, 256, size=(n, L))
+    prefixes[:, -1] = last
+    # dedupe identical prefixes (they legitimately share hashes)
+    uniq = np.unique(prefixes, axis=0)
+    h1s, h2s = {}, {}
+    dual = {}
+    single_collisions = 0
+    for row in uniq:
+        key = tuple(int(x) for x in row)
+        h1, h2 = hashes(key)
+        if h1 in h1s and h1s[h1] != key:
+            single_collisions += 1
+        h1s.setdefault(h1, key)
+        pair = (h1, h2)
+        assert dual.get(pair, key) == key, (
+            f"dual-hash collision: {dual[pair]} vs {key}")
+        dual[pair] = key
+    # birthday bound: ~200k samples over 2^32 -> expect ~4.6 collisions
+    assert single_collisions >= 1, (
+        "expected single 32-bit hash collisions at this scale; the test "
+        "no longer demonstrates why the dual hash is needed")
