@@ -105,6 +105,18 @@ def get_parser() -> argparse.ArgumentParser:
     # inference
     p.add_argument("--beam_size", type=int, default=10)
     p.add_argument("--pen_alpha", type=float, default=1.0)
+    p.add_argument("--word_score", type=float, default=0.0,
+                   help="Per-word insertion score in the lexicon beam "
+                        "(flashlight word_score; the reference uses "
+                        "WORD_SCORE=-4 for its LM decoders, "
+                        "util/beam_infer.py:63).")
+    p.add_argument("--lm_path", type=str, default=None,
+                   help="ARPA n-gram LM for shallow fusion in the "
+                        "lexicon beam (the reference's KenLM slot, "
+                        "util/beam_infer.py:77-78).")
+    p.add_argument("--lm_weight", type=float, default=1.0,
+                   help="LM fusion weight (reference LM_WEIGHT=1.0, "
+                        "util/beam_infer.py:62).")
 
     # ---- TPU-native additions (no reference equivalent) ----
     p.add_argument("--data_root", type=str, default=".",

@@ -33,7 +33,8 @@ class DecoderSuite:
                  blank_skip_threshold: float = 0.95,
                  word_score: float = 0.0, nbest: int = 1,
                  lexicon_path: Optional[str] = None,
-                 tokens_path: Optional[str] = None):
+                 tokens_path: Optional[str] = None,
+                 lm_path: Optional[str] = None, lm_weight: float = 1.0):
         self.cfg = model_cfg
         self.beam_size = beam_size
         self.pen_alpha = pen_alpha
@@ -50,9 +51,13 @@ class DecoderSuite:
         if lexicon_path and tokens_path:
             from early_exit_tpu.decoding.lexicon_beam import (
                 LexiconBeamDecoder)
+            lm = None
+            if lm_path:
+                from early_exit_tpu.decoding.ngram_lm import ArpaLM
+                lm = ArpaLM(lm_path)
             self._trie = LexiconBeamDecoder.from_files(
                 lexicon_path, tokens_path, beam_size=beam_size,
-                word_score=word_score)
+                word_score=word_score, lm=lm, lm_weight=lm_weight)
 
     # -- CTC ---------------------------------------------------------------
     def greedy(self, log_probs, lengths):

@@ -2,15 +2,17 @@
 
 Capability parity with the reference's flashlight `ctc_decoder` bank
 (util/beam_infer.py:51-75: lexicon + tokens files, nbest=1, beam_size,
-word_score, blank '@'): hypotheses are constrained to lexicon word
-sequences via a token trie; the decode returns the best word string, like
-`" ".join(result[0][0].words)` (beam_infer.py:97-99).
+word_score, lm_weight, blank '@'): hypotheses are constrained to lexicon
+word sequences via a token trie; the decode returns the best word string,
+like `" ".join(result[0][0].words)` (beam_infer.py:97-99). Pass an
+`ArpaLM` (decoding/ngram_lm.py) as `lm=` for shallow fusion — the slot
+the reference reserves for KenLM (beam_infer.py:62,71,77-78).
 """
 
 from __future__ import annotations
 
 import ctypes
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -21,8 +23,11 @@ class LexiconBeamDecoder:
     def __init__(self, entries: Sequence[Tuple[str, Sequence[int]]],
                  vocab_size: int, *, blank: int = 0,
                  beam_size: int = 10, word_score: float = 0.0,
-                 beam_threshold: float = 50.0):
-        """entries: (word, token-id sequence) pairs."""
+                 beam_threshold: float = 50.0,
+                 lm: Optional["ArpaLM"] = None, lm_weight: float = 1.0):
+        """entries: (word, token-id sequence) pairs. lm: optional ArpaLM
+        scored at word boundaries (+ sentence end) with weight
+        `lm_weight`, flashlight-style shallow fusion."""
         self._lib = _native.get_lib()
         self._configure()
         self._h = self._lib.eet_trie_create(vocab_size)
@@ -37,6 +42,22 @@ class LexiconBeamDecoder:
         self.beam_size = beam_size
         self.word_score = word_score
         self.beam_threshold = beam_threshold
+        self.lm = None
+        self.lm_weight = 0.0
+        if lm is not None:
+            self.set_lm(lm, lm_weight)
+
+    def set_lm(self, lm: "ArpaLM", lm_weight: float = 1.0) -> None:
+        """Attach (or retune) the shallow-fusion LM. Lexicon words absent
+        from the LM vocabulary score as its <unk>."""
+        from early_exit_tpu.decoding.ngram_lm import ArpaLM  # noqa: F401
+        lex2lm = (ctypes.c_int * len(self.words))(
+            *[lm.word_id(w) for w in self.words])
+        self._lib.eet_trie_set_lm(self._h, lm._h,
+                                  ctypes.c_float(lm_weight), lex2lm,
+                                  len(self.words))
+        self.lm = lm          # keep the LM alive for the trie's lifetime
+        self.lm_weight = lm_weight
 
     def _configure(self):
         c = ctypes
@@ -60,6 +81,8 @@ class LexiconBeamDecoder:
             c.c_void_p, c.POINTER(c.c_float), c.c_int, c.c_int, c.c_int,
             c.c_float, c.c_int, c.c_float, c.c_int, c.POINTER(c.c_int),
             c.c_int, c.POINTER(c.c_int), c.POINTER(c.c_float)]
+        lib.eet_trie_set_lm.argtypes = [c.c_void_p, c.c_void_p, c.c_float,
+                                        c.POINTER(c.c_int), c.c_int]
         lib._trie_configured = True
 
     def __del__(self):
@@ -80,6 +103,7 @@ class LexiconBeamDecoder:
             tokens = [l.rstrip("\n") for l in f]
         piece_to_id = {p: i for i, p in enumerate(tokens)}
         entries = []
+        dropped = 0
         with open(lexicon_path, encoding="utf-8") as f:
             for line in f:
                 line = line.rstrip("\n")
@@ -90,6 +114,12 @@ class LexiconBeamDecoder:
                        if p in piece_to_id]
                 if ids:
                     entries.append((word, ids))
+                else:
+                    dropped += 1
+        if dropped:
+            print(f"warning: {dropped} lexicon entries dropped — their "
+                  f"pieces are absent from {tokens_path} (mismatched "
+                  f"lexicon/tokens pair?)")
         blank = piece_to_id.get(blank_token, 0)
         return cls(entries, len(tokens), blank=blank, **kw)
 

@@ -112,6 +112,12 @@ def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
     if args.decode == "lexicon_beam":
         from early_exit_tpu.decoding.lexicon_beam import LexiconBeamDecoder
         tok_path, lex_path = args.tokens, args.lexicon
+        lm = None
+        if args.lm_path:
+            from early_exit_tpu.decoding.ngram_lm import ArpaLM
+            lm = ArpaLM(args.lm_path)
+            print(f"shallow fusion: {args.lm_path} "
+                  f"(order {lm.order}, weight {args.lm_weight})")
         for cand_tok, cand_lex in (
                 (tok_path, lex_path),
                 ("/root/reference/sentencepiece/build/"
@@ -120,7 +126,9 @@ def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
                  "librispeech-bpe-256.lex")):
             if os.path.exists(cand_tok) and os.path.exists(cand_lex):
                 trie_dec = LexiconBeamDecoder.from_files(
-                    cand_lex, cand_tok, beam_size=args.beam_size)
+                    cand_lex, cand_tok, beam_size=args.beam_size,
+                    word_score=args.word_score, lm=lm,
+                    lm_weight=args.lm_weight)
                 break
         if trie_dec is None:
             sys.exit(f"lexicon_beam: tokens/lexicon not found "

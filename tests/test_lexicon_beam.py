@@ -40,8 +40,10 @@ def test_lexicon_constraint_forbids_oov():
 
 
 def test_two_words():
-    dec = LexiconBeamDecoder(ENTRIES, 4, beam_size=8)
-    # "ab" then "c": a b blank c
+    # Token stream a b c is genuinely ambiguous between "ab c" and "abc"
+    # (identical token sequences, identical acoustic mass), so a positive
+    # word_score makes the two-word reading strictly better.
+    dec = LexiconBeamDecoder(ENTRIES, 4, beam_size=8, word_score=0.5)
     lp = _emit([1, 2, 0, 3, 0])
     text, _ = dec.decode(lp)
     assert text == "ab c"
