@@ -54,6 +54,10 @@ struct Model {
   std::vector<std::string> user_defined;
   int unk_id = 0, bos_id = 1, eos_id = 2, pad_id = -1;
   bool add_dummy_prefix = true, remove_extra_ws = true;
+  // TrainerSpec.model_type (proto default UNIGRAM=1); only BPE=2 is
+  // supported — non-BPE models are rejected at load rather than silently
+  // mis-tokenized (PARITY.md: SentencePiece scope)
+  int model_type = 1;
 };
 
 void parse_piece(const uint8_t* buf, size_t len, Piece* out) {
@@ -91,6 +95,7 @@ void parse_spec(const uint8_t* buf, size_t len, Model* m, bool trainer) {
     } else if (wt == 0) {
       uint64_t v = r.varint();
       if (trainer) {
+        if (field == 3) m->model_type = int(v);
         if (field == 40) m->unk_id = int(v);
         if (field == 41) m->bos_id = int(v);
         if (field == 42) m->eos_id = int(v);
@@ -148,6 +153,10 @@ Model* load_model(const char* path) {
     if (pc.type == kNormal || pc.type == kUserDefined)
       m->merge_score[pc.text] = pc.score;
     if (pc.type == kUserDefined) m->user_defined.push_back(pc.text);
+  }
+  if (m->model_type != 2) {  // only BPE is in scope — fail loudly
+    delete m;
+    return nullptr;
   }
   return m;
 }

@@ -10,7 +10,15 @@
 //   eet_spm encode --model m.model --output_format=piece
 //   eet_spm decode --model m.model   (stdin ids -> text)
 //   eet_spm export_vocab --model m.model
+//   eet_spm normalize [--normalization_rule_name=identity|nfkc]
+//                     [--remove_extra_whitespaces=true]
+//
+// normalize covers the spm_normalize tool (CMakeLists.txt:269) for the
+// rules the shipped artifacts use: `identity` (the BPE models' spec) plus
+// an NFKC-lite rule (fullwidth ASCII forms, ideographic space, NBSP) —
+// full NFKC tables are out of scope (PARITY.md §4).
 
+#include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <iostream>
@@ -45,15 +53,102 @@ int iflag(int argc, char** argv, const std::string& name, int dflt) {
   return v.empty() ? dflt : atoi(v.c_str());
 }
 
+// Decodes one UTF-8 codepoint at s[i]; advances i. Invalid bytes pass
+// through as themselves (latin-1 fallback, never crashes).
+uint32_t utf8_next(const std::string& s, size_t& i) {
+  unsigned char c = s[i];
+  int extra = c >= 0xF0 ? 3 : c >= 0xE0 ? 2 : c >= 0xC0 ? 1 : 0;
+  if (extra == 0 || i + extra >= s.size()) {
+    ++i;
+    return c;
+  }
+  uint32_t cp = c & (0x3F >> extra);
+  for (int k = 0; k < extra; ++k) cp = (cp << 6) | (s[i + 1 + k] & 0x3F);
+  i += extra + 1;
+  return cp;
+}
+
+void utf8_append(uint32_t cp, std::string* out) {
+  if (cp < 0x80) {
+    out->push_back(char(cp));
+  } else if (cp < 0x800) {
+    out->push_back(char(0xC0 | (cp >> 6)));
+    out->push_back(char(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    out->push_back(char(0xE0 | (cp >> 12)));
+    out->push_back(char(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(char(0x80 | (cp & 0x3F)));
+  } else {
+    out->push_back(char(0xF0 | (cp >> 18)));
+    out->push_back(char(0x80 | ((cp >> 12) & 0x3F)));
+    out->push_back(char(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(char(0x80 | (cp & 0x3F)));
+  }
+}
+
+// NFKC-lite codepoint map: fullwidth ASCII (U+FF01..U+FF5E), ideographic
+// space, NBSP. Identity for everything else.
+uint32_t nfkc_lite(uint32_t cp) {
+  if (cp >= 0xFF01 && cp <= 0xFF5E) return cp - 0xFEE0;
+  if (cp == 0x3000 || cp == 0x00A0) return 0x20;
+  return cp;
+}
+
+std::string normalize_line(const std::string& line, bool nfkc,
+                           bool remove_extra_ws) {
+  std::string mapped;
+  mapped.reserve(line.size());
+  size_t i = 0;
+  while (i < line.size()) {
+    uint32_t cp = utf8_next(line, i);
+    if (nfkc) cp = nfkc_lite(cp);
+    utf8_append(cp, &mapped);
+  }
+  if (!remove_extra_ws) return mapped;
+  // SentencePiece remove_extra_whitespaces: trim + collapse runs
+  std::string out;
+  out.reserve(mapped.size());
+  bool in_ws = true;  // leading whitespace is dropped
+  for (char c : mapped) {
+    if (c == ' ' || c == '\t') {
+      in_ws = true;
+    } else {
+      if (in_ws && !out.empty()) out.push_back(' ');
+      out.push_back(c);
+      in_ws = false;
+    }
+  }
+  return out;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
   if (argc < 2) {
     fprintf(stderr,
-            "usage: eet_spm {train|encode|decode|export_vocab} ...\n");
+            "usage: eet_spm {train|encode|decode|export_vocab|normalize}"
+            " ...\n");
     return 1;
   }
   std::string cmd = argv[1];
+
+  if (cmd == "normalize") {
+    std::string rule =
+        flag(argc, argv, "normalization_rule_name", "identity");
+    if (rule != "identity" && rule != "nfkc") {
+      fprintf(stderr,
+              "unsupported normalization rule: %s (identity|nfkc)\n",
+              rule.c_str());
+      return 1;
+    }
+    bool remove_ws =
+        flag(argc, argv, "remove_extra_whitespaces", "true") != "false";
+    std::string line;
+    while (std::getline(std::cin, line))
+      printf("%s\n",
+             normalize_line(line, rule == "nfkc", remove_ws).c_str());
+    return 0;
+  }
 
   if (cmd == "train") {
     std::string input = flag(argc, argv, "input");

@@ -172,11 +172,21 @@ class SentencePieceBPE:
 
 def load_tokenizer(model_path: str, *, prefer_native: bool = True
                    ) -> SentencePieceBPE:
-    """Load a `.model` file; uses the C++ engine when available."""
+    """Load a `.model` file; uses the C++ engine when available.
+
+    Only model_type=BPE (2) is supported — unigram/char/word models are
+    rejected loudly instead of silently mis-tokenized with BPE merges
+    (PARITY.md: SentencePiece scope)."""
+    data = proto.parse_model(model_path)
+    model_type = data.trainer.get("model_type", 1)  # proto default UNIGRAM
+    if model_type != 2:
+        raise ValueError(
+            f"{model_path}: model_type={model_type} is not BPE; only BPE "
+            f"models are in scope (unigram/char/word are not implemented)")
     if prefer_native:
         try:
             from early_exit_tpu.tokenizer.native import NativeBPE
             return NativeBPE(model_path)
         except Exception:
             pass
-    return SentencePieceBPE(proto.parse_model(model_path))
+    return SentencePieceBPE(data)
