@@ -1,0 +1,31 @@
+"""End-to-end dress rehearsal: disk FLAC corpus in LibriSpeech layout ->
+train.py -> inference.py --decode lexicon_beam -> per-exit WER, all via
+the real CLI surfaces in subprocesses (VERDICT r1 item 7).
+
+The tool itself asserts the pipeline invariants (training loss improves,
+every test utterance is decoded, WER lines present) and exits nonzero on
+any break."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(shutil.which("g++") is None,
+                       reason="no C++ toolchain"),
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dress_rehearsal_fast(tmp_path):
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "dress_rehearsal.py"),
+         "--fast", "--workdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=1200)
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert '"wer_pct"' in p.stdout
