@@ -1,0 +1,284 @@
+"""Pallas fused Conformer block (TPU) — the SURVEY §7 flagship kernel.
+
+One `pallas_call` runs a whole Conformer block for one batch item with
+every intermediate resident in VMEM: macaron FFN half → MHSA (all heads)
+→ convolution module (GLU, depthwise conv, folded BatchNorm, SiLU) →
+second FFN half → final LayerNorm. The XLA path writes the residual
+stream (and the FFN/GLU intermediates) to HBM between fusions ~10× per
+block; here the stream crosses HBM exactly twice (x in, y out) and the
+weights once.
+
+Inference-only by design (no dropout; BatchNorm running stats are folded
+into scale/shift on the host). Training keeps the XLA path, whose
+backward pass XLA already fuses well. Numerics mirror
+`models/conformer.block_apply` (train=False) op for op: fp32 LayerNorm /
+BatchNorm, cfg.compute_dtype matmuls with fp32 MXU accumulation,
+cfg.attn_softmax_dtype scores, cfg.residual_dtype stream.
+
+Replaces the reference's torchaudio ConformerLayer forward
+(models/model/early_exit.py:603-615) on the inference hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_TPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_TPU = False
+
+# flat parameter order for the kernel's weight refs (after x, lengths)
+PARAM_ORDER = (
+    "ffn1_ln_g", "ffn1_ln_b", "ffn1_w1", "ffn1_b1", "ffn1_w2", "ffn1_b2",
+    "attn_ln_g", "attn_ln_b", "wq", "bq", "wk", "bk", "wv", "bv",
+    "wo", "bo",
+    "conv_ln_g", "conv_ln_b", "pw1_w", "pw1_b", "dw_w", "dw_b",
+    "bn_scale", "bn_shift", "pw2_w", "pw2_b",
+    "ffn2_ln_g", "ffn2_ln_b", "ffn2_w1", "ffn2_b1", "ffn2_w2", "ffn2_b2",
+    "final_ln_g", "final_ln_b",
+)
+
+
+def fold_block_params(params, state, *, compute_dtype=jnp.bfloat16,
+                      eps: float = 1e-5):
+    """Flatten one block's (params, state) into the kernel layout.
+
+    Matmul weights/biases are cast to the compute dtype (they are cast
+    there per-call on the XLA path anyway); LayerNorm vectors stay fp32;
+    BatchNorm running stats fold into fp32 scale/shift. Works on stacked
+    (leading layer axis) params too — every op is per-leaf.
+    """
+    cd = compute_dtype
+
+    def vec(a):      # (..., D) fp32 vector -> (..., 1, D)
+        return a[..., None, :].astype(jnp.float32)
+
+    def cvec(a):     # bias in compute dtype -> (..., 1, F)
+        return a[..., None, :].astype(cd)
+
+    bn_g = params["conv"]["norm"]["g"].astype(jnp.float32)
+    bn_b = params["conv"]["norm"]["b"].astype(jnp.float32)
+    bn_mean = state["conv_bn"]["mean"].astype(jnp.float32)
+    bn_var = state["conv_bn"]["var"].astype(jnp.float32)
+    bn_scale = bn_g * jax.lax.rsqrt(bn_var + eps)
+    bn_shift = bn_b - bn_mean * bn_scale
+
+    dw_w = params["conv"]["dw"]["w"]          # (..., k, 1, D)
+    dw_w = dw_w.reshape(dw_w.shape[:-3] + (dw_w.shape[-3],
+                                           dw_w.shape[-1])).astype(cd)
+
+    out = {
+        "ffn1_ln_g": vec(params["ffn1"]["ln"]["g"]),
+        "ffn1_ln_b": vec(params["ffn1"]["ln"]["b"]),
+        "ffn1_w1": params["ffn1"]["w1"]["w"].astype(cd),
+        "ffn1_b1": cvec(params["ffn1"]["w1"]["b"]),
+        "ffn1_w2": params["ffn1"]["w2"]["w"].astype(cd),
+        "ffn1_b2": cvec(params["ffn1"]["w2"]["b"]),
+        "attn_ln_g": vec(params["attn"]["ln"]["g"]),
+        "attn_ln_b": vec(params["attn"]["ln"]["b"]),
+        "wq": params["attn"]["mha"]["q"]["w"].astype(cd),
+        "bq": cvec(params["attn"]["mha"]["q"]["b"]),
+        "wk": params["attn"]["mha"]["k"]["w"].astype(cd),
+        "bk": cvec(params["attn"]["mha"]["k"]["b"]),
+        "wv": params["attn"]["mha"]["v"]["w"].astype(cd),
+        "bv": cvec(params["attn"]["mha"]["v"]["b"]),
+        "wo": params["attn"]["mha"]["o"]["w"].astype(cd),
+        "bo": cvec(params["attn"]["mha"]["o"]["b"]),
+        "conv_ln_g": vec(params["conv"]["ln"]["g"]),
+        "conv_ln_b": vec(params["conv"]["ln"]["b"]),
+        "pw1_w": params["conv"]["pw1"]["w"].astype(cd),
+        "pw1_b": cvec(params["conv"]["pw1"]["b"]),
+        "dw_w": dw_w,
+        "dw_b": vec(params["conv"]["dw"]["b"]),
+        "bn_scale": vec(bn_scale),
+        "bn_shift": vec(bn_shift),
+        "pw2_w": params["conv"]["pw2"]["w"].astype(cd),
+        "pw2_b": cvec(params["conv"]["pw2"]["b"]),
+        "ffn2_ln_g": vec(params["ffn2"]["ln"]["g"]),
+        "ffn2_ln_b": vec(params["ffn2"]["ln"]["b"]),
+        "ffn2_w1": params["ffn2"]["w1"]["w"].astype(cd),
+        "ffn2_b1": cvec(params["ffn2"]["w1"]["b"]),
+        "ffn2_w2": params["ffn2"]["w2"]["w"].astype(cd),
+        "ffn2_b2": cvec(params["ffn2"]["w2"]["b"]),
+        "final_ln_g": vec(params["final_ln"]["g"]),
+        "final_ln_b": vec(params["final_ln"]["b"]),
+    }
+    return tuple(out[k] for k in PARAM_ORDER)
+
+
+def _block_kernel(x_ref, len_ref, *refs, n_heads, kernel_size, cdtype,
+                  rdtype, smdtype, eps=1e-5):
+    w = dict(zip(PARAM_ORDER, refs[:-1]))
+    o_ref = refs[-1]
+
+    Tp, D = x_ref.shape[1], x_ref.shape[2]
+    dh = D // n_heads
+    length = len_ref[0, 0]
+
+    row_valid = (jax.lax.broadcasted_iota(jnp.int32, (Tp, 1), 0)
+                 < length)                               # (Tp, 1)
+    col_valid = (jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+                 < length)                               # (Tp, Tp)
+
+    def ln(v, g_ref, b_ref):
+        v32 = v.astype(jnp.float32)
+        mu = jnp.mean(v32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(v32 - mu), axis=-1, keepdims=True)
+        return (v32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
+
+    def matmul(v, w_ref, b_ref):
+        y = jnp.dot(v.astype(cdtype), w_ref[:],
+                    preferred_element_type=jnp.float32).astype(cdtype)
+        return y + b_ref[:]
+
+    def ffn(v, pre):
+        y = ln(v, w[pre + "_ln_g"], w[pre + "_ln_b"])
+        y = matmul(y, w[pre + "_w1"], w[pre + "_b1"])
+        y = jax.nn.silu(y)
+        return matmul(y, w[pre + "_w2"], w[pre + "_b2"])
+
+    x = x_ref[0].astype(rdtype)                          # (Tp, D)
+
+    # ---- macaron FFN half
+    x = x + 0.5 * ffn(x, "ffn1").astype(rdtype)
+
+    # ---- MHSA, all heads in VMEM
+    y = ln(x, w["attn_ln_g"], w["attn_ln_b"])
+    q = matmul(y, w["wq"], w["bq"])
+    k = matmul(y, w["wk"], w["bk"])
+    v = matmul(y, w["wv"], w["bv"])
+    scale = 1.0 / math.sqrt(dh)
+    lowp = smdtype == jnp.bfloat16
+    heads = []
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (Tp, Tp)
+        if lowp:
+            s = (s.astype(smdtype) * jnp.asarray(scale, smdtype))
+            s = jnp.where(col_valid, s, jnp.asarray(-30000.0, smdtype))
+            p = jax.nn.softmax(s, axis=-1)
+            oh = jnp.dot(p, vh, preferred_element_type=jnp.float32
+                         ).astype(cdtype)
+        else:
+            s = s * scale
+            s = jnp.where(col_valid, s, -1e9)
+            p = jax.nn.softmax(s, axis=-1).astype(cdtype)
+            oh = jnp.dot(p, vh.astype(cdtype),
+                         preferred_element_type=jnp.float32)
+        heads.append(oh)
+    attn_out = jnp.concatenate(heads, axis=-1)           # (Tp, D)
+    x = x + matmul(attn_out, w["wo"], w["bo"]).astype(rdtype)
+
+    # ---- convolution module
+    y = ln(x, w["conv_ln_g"], w["conv_ln_b"])
+    y = matmul(y, w["pw1_w"], w["pw1_b"])                # (Tp, 2D)
+    a, b = y[:, :D], y[:, D:]
+    y = a * jax.nn.sigmoid(b)                            # GLU, cdtype
+    y = jnp.where(row_valid, y, jnp.zeros((), cdtype))   # no conv leakage
+    # depthwise 'SAME' conv over time: k shifted multiply-adds (VPU),
+    # fp32 accumulation then one cast to cdtype (matches the XLA conv's
+    # preferred_element_type=f32 -> astype(bf16) rounding)
+    kpad_l = (kernel_size - 1) // 2
+    yp = jnp.pad(y, ((kpad_l, kernel_size - 1 - kpad_l), (0, 0)))
+    acc = jnp.zeros((Tp, D), jnp.float32)
+    for j in range(kernel_size):
+        acc = acc + (yp[j:j + Tp].astype(jnp.float32)
+                     * w["dw_w"][j:j + 1, :].astype(jnp.float32))
+    y = acc.astype(cdtype).astype(jnp.float32) + w["dw_b"][:]
+    y = y * w["bn_scale"][:] + w["bn_shift"][:]          # folded BatchNorm
+    y = jax.nn.silu(y)
+    y = matmul(y, w["pw2_w"], w["pw2_b"])
+    x = x + y.astype(rdtype)
+
+    # ---- second FFN half + final LN
+    x = x + 0.5 * ffn(x, "ffn2").astype(rdtype)
+    x = ln(x, w["final_ln_g"], w["final_ln_b"]).astype(rdtype)
+    x = jnp.where(row_valid, x, jnp.zeros((), rdtype))
+    o_ref[0] = x
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "kernel_size",
+                                             "compute_dtype",
+                                             "residual_dtype",
+                                             "attn_softmax_dtype",
+                                             "interpret"))
+def fused_block_apply(folded, x, lengths, *, n_heads: int,
+                      kernel_size: int, compute_dtype=jnp.bfloat16,
+                      residual_dtype=jnp.bfloat16,
+                      attn_softmax_dtype=jnp.float32,
+                      interpret: bool = False):
+    """One fused Conformer block. x: (B, T, D); lengths: (B,) int32.
+
+    folded: tuple from fold_block_params (unstacked). Returns (B, T, D)
+    in residual_dtype."""
+    B, T, D = x.shape
+    Tp = _pad_to(T, 128)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+    kern = functools.partial(
+        _block_kernel, n_heads=n_heads, kernel_size=kernel_size,
+        cdtype=compute_dtype, rdtype=residual_dtype,
+        smdtype=attn_softmax_dtype)
+
+    w_specs = [
+        pl.BlockSpec(a.shape, (lambda *_, n=a.ndim: (0,) * n),
+                     memory_space=pltpu.VMEM)
+        for a in folded
+    ]
+    y = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), residual_dtype),
+        interpret=interpret,
+    )(x.astype(residual_dtype),
+      lengths.astype(jnp.int32).reshape(B, 1), *folded)
+    return y[:, :T]
+
+
+def fused_stack_apply(stacked_params, stacked_state, x, lengths, cfg, *,
+                      collect_outputs: bool = False,
+                      interpret: bool = False):
+    """Run a lax.scan-stacked Conformer stack through the fused kernel.
+
+    Mirrors conformer.stack_apply(train=False): returns
+    (y, state[, per_layer_outputs])."""
+    folded = fold_block_params(stacked_params, stacked_state,
+                               compute_dtype=cfg.dtype)
+
+    def body(h, layer):
+        h = fused_block_apply(
+            layer, h, lengths, n_heads=cfg.n_heads,
+            kernel_size=cfg.kernel_size, compute_dtype=cfg.dtype,
+            residual_dtype=cfg.rdtype, attn_softmax_dtype=cfg.sm_dtype,
+            interpret=interpret)
+        return h, (h if collect_outputs else None)
+
+    y, outs = jax.lax.scan(body, x, folded)
+    if collect_outputs:
+        return y, stacked_state, outs
+    return y, stacked_state

@@ -16,3 +16,9 @@ import jax  # noqa: E402
 # virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The suite is XLA-compile-bound (every mesh/train-step test compiles a
+# fresh GSPMD graph); the persistent cache makes warm runs ~4x faster.
+from early_exit_tpu.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from early_exit_tpu.configs import ModelConfig
 from early_exit_tpu.decoding import aed_beam
@@ -42,6 +43,7 @@ def test_beam_search_runs_and_is_deterministic():
     assert np.isfinite(float(scores[best]))
 
 
+@pytest.mark.slow
 def test_beam1_matches_greedy_rollout():
     """With beam_size=1 and alpha=0 the beam search must equal a greedy
     autoregressive rollout through decode_exit."""

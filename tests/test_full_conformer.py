@@ -101,6 +101,7 @@ def test_cross_entropy_matches_torch():
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_aed_training_decreases_loss():
     cfg = TINY
     tcfg = TrainConfig(decoder_mode="aed")

@@ -3,6 +3,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from early_exit_tpu.configs import ModelConfig, TrainConfig
 from early_exit_tpu.models import splitformer, zipformer
@@ -68,6 +69,7 @@ def test_splitformer_branch_changes_first_and_last_exits():
     assert not np.allclose(np.asarray(base[2]), np.asarray(out[2]))
 
 
+@pytest.mark.slow
 def test_splitformer_trains():
     cfg = SPLIT_TINY
     tcfg = TrainConfig()
@@ -107,6 +109,7 @@ def test_zipformer_requires_19_exits():
         zipformer.init(jax.random.PRNGKey(0), bad)
 
 
+@pytest.mark.slow
 def test_zipformer_trains():
     cfg = ZIP_TINY
     tcfg = TrainConfig()

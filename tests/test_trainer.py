@@ -3,6 +3,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from early_exit_tpu.configs import ModelConfig, TrainConfig
 from early_exit_tpu.models import early_conformer
@@ -35,6 +36,7 @@ def test_noam_schedule_matches_reference_formula():
         np.testing.assert_allclose(got, expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_loss_decreases_overfitting():
     cfg = TINY
     tcfg = TrainConfig(ctc_compat_padded_lengths=True)
@@ -79,6 +81,7 @@ def test_bfloat16_train_step_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     import dataclasses
     cfg = TINY
@@ -100,6 +103,7 @@ def test_remat_matches_no_remat():
                                float(m2["grad_norm"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_distillation_loss_and_training():
     import dataclasses
     cfg = TINY
