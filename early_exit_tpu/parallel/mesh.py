@@ -27,19 +27,55 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# data parallelism ACROSS slices (DCN): only batch/gradient traffic rides
+# this axis — params are replicated over it, tensor sharding stays on the
+# intra-slice ICI axes
+REPLICA_AXIS = "replica"
 
 
 def make_mesh(devices: Optional[Sequence] = None, *, dp: Optional[int] = None,
-              tp: int = 1) -> Mesh:
-    """Mesh with shape (dp, tp) over the given (default: all) devices."""
+              tp: int = 1, dcn: int = 1) -> Mesh:
+    """Mesh over the given (default: all) devices.
+
+    dcn=1 (single slice): shape (dp, tp) with axes (data, model).
+    dcn>1 (multi-slice): shape (dcn, dp, tp) with axes (replica, data,
+    model) — the outermost axis maps across slices so the only
+    collectives crossing DCN are the gradient all-reduces of pure data
+    parallelism; tensor-parallel collectives stay on ICI.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != n_devices({n})"
+        dp = n // (tp * dcn)
+    assert dcn * dp * tp == n, \
+        f"dcn({dcn}) * dp({dp}) * tp({tp}) != n_devices({n})"
+    if dcn > 1:
+        arr = np.asarray(devices).reshape(dcn, dp, tp)
+        return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_hybrid_mesh(*, tp: int = 1) -> Mesh:
+    """Multi-slice mesh for a real multi-process TPU environment: one
+    `replica` entry per slice (DCN), (data, model) within each slice
+    (ICI), using mesh_utils' DCN-aware device assignment. Falls back to
+    `make_mesh` on a single slice/host."""
+    n_slices = getattr(jax.devices()[0], "num_slices", 1) or 1
+    if n_slices <= 1:
+        return make_mesh(tp=tp)
+    from jax.experimental import mesh_utils
+    per_slice = len(jax.devices()) // n_slices
+    arr = mesh_utils.create_hybrid_device_mesh(
+        (1, per_slice // tp, tp), (n_slices, 1, 1))
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the batch dimension is sharded over."""
+    return tuple(a for a in (REPLICA_AXIS, DATA_AXIS)
+                 if a in mesh.axis_names)
 
 
 # --------------------------------------------------------------------------
@@ -105,9 +141,11 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every batch leaf along its leading (batch) axis."""
+    """Shard every batch leaf along its leading (batch) axis — over
+    (replica, data) on a multi-slice mesh, data alone on a single slice."""
+    axes = batch_axes(mesh)
     def place(leaf):
-        spec = P(DATA_AXIS, *([None] * (leaf.ndim - 1)))
+        spec = P(axes, *([None] * (leaf.ndim - 1)))
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(place, batch)
 

@@ -63,6 +63,17 @@ def main():
     step = jax.jit(trainer.make_train_step(model, model_cfg, train_cfg,
                                            opt))
     fwd = jax.jit(trainer.make_eval_forward(model, model_cfg))
+    # inference.py defaults to the bf16-softmax profile (cli mode="infer");
+    # warm that variant of the forward too, plus the DFT-matmul mel whose
+    # remote compile is the pathological one
+    import dataclasses
+
+    from early_exit_tpu.ops import frontend
+    infer_cfg = dataclasses.replace(model_cfg,
+                                    attn_softmax_dtype="bfloat16")
+    fwd_infer = jax.jit(trainer.make_eval_forward(model, infer_cfg))
+    mel_dft = jax.jit(lambda wav: frontend.mel_spectrogram(
+        wav, audio_cfg, method="dft"))
     rng = jax.random.PRNGKey(1)
 
     n_done = 0
@@ -82,6 +93,10 @@ def main():
             float(m["loss"])
             fwd(state["params"], state["model_state"], batch["feats"],
                 batch["feat_lengths"])
+            fwd_infer(state["params"], state["model_state"],
+                      batch["feats"], batch["feat_lengths"])
+            mel_dft(jnp.zeros((nb, (tf - 1) * audio_cfg.hop_length),
+                              jnp.float32))
             n_done += 1
             print(f"warmed B={nb} T={tf} L={lb} "
                   f"({time.time() - t0:.1f}s)")
