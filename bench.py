@@ -40,7 +40,8 @@ def main():
     from early_exit_tpu.ops import ctc, frontend
 
     acfg = AudioConfig()
-    cfg = ModelConfig(attn_softmax_dtype="bfloat16")  # reference dims, full bf16 inference
+    # reference dims, full bf16 inference, fused whole-block Pallas kernel
+    cfg = ModelConfig(attn_softmax_dtype="bfloat16", fused_block=True)
     params, state = early_conformer.init(jax.random.PRNGKey(0), cfg)
 
     B, SECONDS = 64, 10.0

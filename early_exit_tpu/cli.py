@@ -160,6 +160,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention_impl", type=str, default="xla",
                    choices=["xla", "pallas"],
                    help="Attention kernel: XLA-fused or Pallas VMEM.")
+    p.add_argument("--fused_block", type=_bool, default=False,
+                   help="Run inference through the fused whole-block "
+                        "Pallas Conformer kernel (training always uses "
+                        "the XLA path).")
     p.add_argument("--remat", type=_bool, default=False,
                    help="jax.checkpoint each conformer block (saves HBM "
                         "on backward at the cost of recompute).")
@@ -262,7 +266,8 @@ def get_args(argv=None, mode: str = "train"):
         length_mode=args.length_mode,
         attention_impl=args.attention_impl, remat=args.remat,
         residual_dtype=residual_dtype,
-        attn_softmax_dtype=args.attn_softmax_dtype)
+        attn_softmax_dtype=args.attn_softmax_dtype,
+        fused_block=args.fused_block)
     train_cfg = TrainConfig(
         batch_size=args.batch_size, n_batch_split=args.n_batch_split,
         n_epochs=args.n_epochs, warmup=args.warmup,

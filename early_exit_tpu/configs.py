@@ -48,6 +48,9 @@ class ModelConfig:
     # dtype of the materialised attention score/prob tensors; bfloat16
     # saves another ~20% forward time (inference); float32 for training.
     attn_softmax_dtype: str = "float32"
+    # route inference through the fused whole-block Pallas kernel
+    # (ops/pallas/conformer_block.py); training always uses the XLA path
+    fused_block: bool = False
 
     @property
     def dtype(self):

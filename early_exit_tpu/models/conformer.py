@@ -46,6 +46,9 @@ class ConformerConfig:
     remat: bool = False           # rematerialise each block in backward
     residual_dtype: str = "float32"
     attn_softmax_dtype: str = "float32"
+    # run inference through the fused whole-block Pallas kernel
+    # (ops/pallas/conformer_block.py); training keeps the XLA path
+    fused_block: bool = False
 
     @property
     def dtype(self):
@@ -204,6 +207,17 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
     `lax.scan` (compiles the block body once regardless of depth).
 
     Returns (y, new_state[, per_layer_outputs])."""
+    # the fused kernel keeps per-item (Tp, Tp) scores + the whole block
+    # resident in VMEM; beyond ~T=512 that no longer fits, fall back
+    if cfg.fused_block and not train and x.shape[1] <= 512:
+        from early_exit_tpu.ops.pallas import conformer_block as fcb
+        if mask is not None:
+            lengths = jnp.sum(mask.astype(jnp.int32), axis=1)
+        else:
+            lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        return fcb.fused_stack_apply(params, state, x, lengths, cfg,
+                                     collect_outputs=collect_outputs)
+
     n_layers = jax.tree_util.tree_leaves(params)[0].shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)

@@ -31,7 +31,8 @@ def _conformer_cfg(cfg: ModelConfig) -> conformer.ConformerConfig:
         conv_norm=cfg.conv_norm, compute_dtype=cfg.compute_dtype,
         attention_impl=cfg.attention_impl, remat=cfg.remat,
         residual_dtype=(cfg.residual_dtype or cfg.compute_dtype),
-        attn_softmax_dtype=cfg.attn_softmax_dtype)
+        attn_softmax_dtype=cfg.attn_softmax_dtype,
+        fused_block=cfg.fused_block)
 
 
 def init(key: jax.Array, cfg: ModelConfig):

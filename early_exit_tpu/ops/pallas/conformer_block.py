@@ -114,19 +114,41 @@ def fold_block_params(params, state, *, compute_dtype=jnp.bfloat16,
     return tuple(out[k] for k in PARAM_ORDER)
 
 
+def _silu(v):
+    """SiLU with dtype-explicit constants (Mosaic rejects jax.nn.silu's
+    f32 constant broadcasts into bf16 vectors)."""
+    one = jnp.asarray(1.0, v.dtype)
+    return v / (one + jnp.exp(-v))
+
+
+def _sigmoid(v):
+    one = jnp.asarray(1.0, v.dtype)
+    return one / (one + jnp.exp(-v))
+
+
+def _softmax(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def _block_kernel(x_ref, len_ref, *refs, n_heads, kernel_size, cdtype,
-                  rdtype, smdtype, eps=1e-5):
+                  rdtype, smdtype, group, eps=1e-5):
+    """One grid step processes `group` batch items: LN/matmuls run on the
+    flattened (group*Tp, D) rows (big MXU shapes); attention and the
+    depthwise conv, which must not mix items, loop per item."""
     w = dict(zip(PARAM_ORDER, refs[:-1]))
     o_ref = refs[-1]
 
-    Tp, D = x_ref.shape[1], x_ref.shape[2]
+    G, Tp, D = x_ref.shape
+    R = G * Tp
     dh = D // n_heads
-    length = len_ref[0, 0]
+    base = pl.program_id(0) * G
+    lengths = [len_ref[base + g, 0] for g in range(G)]
 
-    row_valid = (jax.lax.broadcasted_iota(jnp.int32, (Tp, 1), 0)
-                 < length)                               # (Tp, 1)
-    col_valid = (jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
-                 < length)                               # (Tp, Tp)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (Tp, 1), 0)
+    row_valid = jnp.concatenate(
+        [t_iota < lengths[g] for g in range(G)], axis=0)     # (R, 1)
 
     def ln(v, g_ref, b_ref):
         v32 = v.astype(jnp.float32)
@@ -142,70 +164,83 @@ def _block_kernel(x_ref, len_ref, *refs, n_heads, kernel_size, cdtype,
     def ffn(v, pre):
         y = ln(v, w[pre + "_ln_g"], w[pre + "_ln_b"])
         y = matmul(y, w[pre + "_w1"], w[pre + "_b1"])
-        y = jax.nn.silu(y)
+        y = _silu(y)
         return matmul(y, w[pre + "_w2"], w[pre + "_b2"])
 
-    x = x_ref[0].astype(rdtype)                          # (Tp, D)
+    x = x_ref[:].reshape(R, D).astype(rdtype)
 
     # ---- macaron FFN half
-    x = x + 0.5 * ffn(x, "ffn1").astype(rdtype)
+    half = jnp.asarray(0.5, rdtype)
+    x = x + half * ffn(x, "ffn1").astype(rdtype)
 
-    # ---- MHSA, all heads in VMEM
+    # ---- MHSA, all heads in VMEM; per-item score/softmax
     y = ln(x, w["attn_ln_g"], w["attn_ln_b"])
     q = matmul(y, w["wq"], w["bq"])
     k = matmul(y, w["wk"], w["bk"])
     v = matmul(y, w["wv"], w["bv"])
     scale = 1.0 / math.sqrt(dh)
     lowp = smdtype == jnp.bfloat16
-    heads = []
-    for h in range(n_heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
-        s = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (Tp, Tp)
-        if lowp:
-            s = (s.astype(smdtype) * jnp.asarray(scale, smdtype))
-            s = jnp.where(col_valid, s, jnp.asarray(-30000.0, smdtype))
-            p = jax.nn.softmax(s, axis=-1)
-            oh = jnp.dot(p, vh, preferred_element_type=jnp.float32
-                         ).astype(cdtype)
-        else:
-            s = s * scale
-            s = jnp.where(col_valid, s, -1e9)
-            p = jax.nn.softmax(s, axis=-1).astype(cdtype)
-            oh = jnp.dot(p, vh.astype(cdtype),
-                         preferred_element_type=jnp.float32)
-        heads.append(oh)
-    attn_out = jnp.concatenate(heads, axis=-1)           # (Tp, D)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    items = []
+    for g in range(G):
+        rows = slice(g * Tp, (g + 1) * Tp)
+        col_valid = c_iota < lengths[g]
+        heads = []
+        for h in range(n_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            qh, kh, vh = q[rows, sl], k[rows, sl], v[rows, sl]
+            s = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (Tp, Tp)
+            if lowp:
+                s = s.astype(smdtype) * jnp.asarray(scale, smdtype)
+                s = jnp.where(col_valid, s,
+                              jnp.asarray(-30000.0, smdtype))
+                p = _softmax(s)
+                oh = jnp.dot(p, vh, preferred_element_type=jnp.float32
+                             ).astype(cdtype)
+            else:
+                s = s * scale
+                s = jnp.where(col_valid, s, -1e9)
+                p = _softmax(s).astype(cdtype)
+                oh = jnp.dot(p, vh.astype(cdtype),
+                             preferred_element_type=jnp.float32)
+            heads.append(oh)
+        items.append(jnp.concatenate(heads, axis=-1))        # (Tp, D)
+    attn_out = jnp.concatenate(items, axis=0)                # (R, D)
     x = x + matmul(attn_out, w["wo"], w["bo"]).astype(rdtype)
 
     # ---- convolution module
     y = ln(x, w["conv_ln_g"], w["conv_ln_b"])
-    y = matmul(y, w["pw1_w"], w["pw1_b"])                # (Tp, 2D)
+    y = matmul(y, w["pw1_w"], w["pw1_b"])                    # (R, 2D)
     a, b = y[:, :D], y[:, D:]
-    y = a * jax.nn.sigmoid(b)                            # GLU, cdtype
-    y = jnp.where(row_valid, y, jnp.zeros((), cdtype))   # no conv leakage
-    # depthwise 'SAME' conv over time: k shifted multiply-adds (VPU),
-    # fp32 accumulation then one cast to cdtype (matches the XLA conv's
-    # preferred_element_type=f32 -> astype(bf16) rounding)
+    y = a * _sigmoid(b)                                      # GLU, cdtype
+    y = jnp.where(row_valid, y, jnp.zeros((), cdtype))       # no leakage
+    # depthwise 'SAME' conv over time, per item: k shifted multiply-adds
+    # (VPU), fp32 accumulation then one cast to cdtype (matches the XLA
+    # conv's preferred_element_type=f32 -> astype(bf16) rounding)
     kpad_l = (kernel_size - 1) // 2
-    yp = jnp.pad(y, ((kpad_l, kernel_size - 1 - kpad_l), (0, 0)))
-    acc = jnp.zeros((Tp, D), jnp.float32)
-    for j in range(kernel_size):
-        acc = acc + (yp[j:j + Tp].astype(jnp.float32)
-                     * w["dw_w"][j:j + 1, :].astype(jnp.float32))
-    y = acc.astype(cdtype).astype(jnp.float32) + w["dw_b"][:]
-    y = y * w["bn_scale"][:] + w["bn_shift"][:]          # folded BatchNorm
-    y = jax.nn.silu(y)
+    dw = w["dw_w"][:].astype(jnp.float32)                    # (k, D)
+    conv_items = []
+    for g in range(G):
+        yg = y[g * Tp:(g + 1) * Tp]
+        yp = jnp.pad(yg, ((kpad_l, kernel_size - 1 - kpad_l), (0, 0)))
+        acc = jnp.zeros((Tp, D), jnp.float32)
+        for j in range(kernel_size):
+            acc = acc + yp[j:j + Tp].astype(jnp.float32) * dw[j:j + 1, :]
+        conv_items.append(acc)
+    y = jnp.concatenate(conv_items, axis=0)                  # (R, D) f32
+    y = y.astype(cdtype).astype(jnp.float32) + w["dw_b"][:]
+    y = y * w["bn_scale"][:] + w["bn_shift"][:]              # folded BN
+    y = _silu(y)
     y = matmul(y, w["pw2_w"], w["pw2_b"])
     x = x + y.astype(rdtype)
 
     # ---- second FFN half + final LN
-    x = x + 0.5 * ffn(x, "ffn2").astype(rdtype)
+    x = x + half * ffn(x, "ffn2").astype(rdtype)
     x = ln(x, w["final_ln_g"], w["final_ln_b"]).astype(rdtype)
     x = jnp.where(row_valid, x, jnp.zeros((), rdtype))
-    o_ref[0] = x
+    o_ref[:] = x.reshape(G, Tp, D)
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -216,25 +251,35 @@ def _pad_to(n: int, m: int) -> int:
                                              "compute_dtype",
                                              "residual_dtype",
                                              "attn_softmax_dtype",
-                                             "interpret"))
+                                             "group", "interpret"))
 def fused_block_apply(folded, x, lengths, *, n_heads: int,
                       kernel_size: int, compute_dtype=jnp.bfloat16,
                       residual_dtype=jnp.bfloat16,
                       attn_softmax_dtype=jnp.float32,
+                      group: int | None = None,
                       interpret: bool = False):
     """One fused Conformer block. x: (B, T, D); lengths: (B,) int32.
 
-    folded: tuple from fold_block_params (unstacked). Returns (B, T, D)
-    in residual_dtype."""
+    folded: tuple from fold_block_params (unstacked). group: batch items
+    per grid step (bigger MXU matmuls vs VMEM/code size; group=2 measured
+    fastest at reference shapes on v5e — BENCH_NOTES.md). Returns
+    (B, T, D) in residual_dtype."""
     B, T, D = x.shape
     Tp = _pad_to(T, 128)
     if Tp != T:
         x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    if group is None:
+        group = 2 if B >= 2 else 1
+    group = min(group, B)
+    Bp = _pad_to(B, group)
+    if Bp != B:   # padded items carry length 0 -> fully masked
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+        lengths = jnp.pad(lengths, (0, Bp - B))
 
     kern = functools.partial(
         _block_kernel, n_heads=n_heads, kernel_size=kernel_size,
         cdtype=compute_dtype, rdtype=residual_dtype,
-        smdtype=attn_softmax_dtype)
+        smdtype=attn_softmax_dtype, group=group)
 
     w_specs = [
         pl.BlockSpec(a.shape, (lambda *_, n=a.ndim: (0,) * n),
@@ -243,30 +288,32 @@ def fused_block_apply(folded, x, lengths, *, n_heads: int,
     ]
     y = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(Bp // group,),
         in_specs=[
-            pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((group, Tp, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((Bp, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((group, Tp, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, D), residual_dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, D), residual_dtype),
         interpret=interpret,
     )(x.astype(residual_dtype),
-      lengths.astype(jnp.int32).reshape(B, 1), *folded)
-    return y[:, :T]
+      lengths.astype(jnp.int32).reshape(Bp, 1), *folded)
+    return y[:B, :T]
 
 
 def fused_stack_apply(stacked_params, stacked_state, x, lengths, cfg, *,
                       collect_outputs: bool = False,
-                      interpret: bool = False):
+                      interpret: bool | None = None):
     """Run a lax.scan-stacked Conformer stack through the fused kernel.
 
     Mirrors conformer.stack_apply(train=False): returns
     (y, state[, per_layer_outputs])."""
+    if interpret is None:   # Mosaic needs real TPU; interpret elsewhere
+        interpret = jax.default_backend() != "tpu"
     folded = fold_block_params(stacked_params, stacked_state,
                                compute_dtype=cfg.dtype)
 
