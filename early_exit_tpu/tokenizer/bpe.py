@@ -53,6 +53,13 @@ class SentencePieceBPE:
         n = model.normalizer
         self.add_dummy_prefix = bool(n.get("add_dummy_prefix", 1))
         self.remove_extra_ws = bool(n.get("remove_extra_whitespaces", 1))
+        # precompiled charsmap rules (e.g. nmt_nfkc in the reference's
+        # artifacts, sentencepiece/build/libri.bpe-256.model field 3.2)
+        self.charsmap = None
+        blob = n.get("precompiled_charsmap")
+        if blob:
+            from early_exit_tpu.tokenizer.charsmap import Charsmap
+            self.charsmap = Charsmap(blob)
         self.user_defined = sorted(
             (p.piece for p in model.pieces if p.type == proto.USER_DEFINED),
             key=len, reverse=True)
@@ -81,6 +88,8 @@ class SentencePieceBPE:
 
     # -- normalization ----------------------------------------------------
     def _normalize(self, text: str) -> str:
+        if self.charsmap is not None:
+            text = self.charsmap.normalize(text)
         if self.remove_extra_ws:
             text = " ".join(text.split())
         if self.add_dummy_prefix and text:
@@ -174,19 +183,7 @@ def load_tokenizer(model_path: str, *, prefer_native: bool = True
                    ) -> SentencePieceBPE:
     """Load a `.model` file; uses the C++ engine when available.
 
-    Only model_type=BPE (2) is supported — unigram/char/word models are
-    rejected loudly instead of silently mis-tokenized with BPE merges
-    (PARITY.md: SentencePiece scope)."""
-    data = proto.parse_model(model_path)
-    model_type = data.trainer.get("model_type", 1)  # proto default UNIGRAM
-    if model_type != 2:
-        raise ValueError(
-            f"{model_path}: model_type={model_type} is not BPE; only BPE "
-            f"models are in scope (unigram/char/word are not implemented)")
-    if prefer_native:
-        try:
-            from early_exit_tpu.tokenizer.native import NativeBPE
-            return NativeBPE(model_path)
-        except Exception:
-            pass
-    return SentencePieceBPE(data)
+    All four SentencePiece model types (unigram/bpe/word/char) are
+    supported — dispatch lives in `spm.load_tokenizer`."""
+    from early_exit_tpu.tokenizer import spm
+    return spm.load_tokenizer(model_path, prefer_native=prefer_native)

@@ -92,21 +92,76 @@ def _parse_piece(buf: bytes) -> SentencePieceEntry:
 _TRAINER_FIELDS = {3: "model_type", 4: "vocab_size", 40: "unk_id",
                    41: "bos_id", 42: "eos_id", 43: "pad_id"}
 # NormalizerSpec field numbers
-_NORM_FIELDS = {1: "name", 3: "add_dummy_prefix",
+_NORM_FIELDS = {1: "name", 2: "precompiled_charsmap", 3: "add_dummy_prefix",
                 4: "remove_extra_whitespaces", 5: "escape_whitespaces"}
+# length-delimited fields that must stay raw bytes (never utf-8 decoded)
+_BYTES_FIELDS = {"precompiled_charsmap"}
 
 
 def _parse_spec(buf: bytes, mapping) -> Dict[str, object]:
     out = {}
     for field, wtype, val in iter_fields(buf):
         if field in mapping:
-            if isinstance(val, bytes):
+            if isinstance(val, bytes) and mapping[field] not in _BYTES_FIELDS:
                 try:
                     val = val.decode("utf-8")
                 except UnicodeDecodeError:
                     pass
             out[mapping[field]] = val
     return out
+
+
+def _write_varint(out: bytearray, v: int) -> None:
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _write_field(out: bytearray, field: int, wtype: int, val) -> None:
+    _write_varint(out, field << 3 | wtype)
+    if wtype == 0:
+        _write_varint(out, int(val) & 0xFFFFFFFFFFFFFFFF)
+    elif wtype == 2:
+        data = val.encode("utf-8") if isinstance(val, str) else bytes(val)
+        _write_varint(out, len(data))
+        out += data
+    elif wtype == 5:
+        out += struct.pack("<f", float(val))
+    else:
+        raise ValueError(wtype)
+
+
+_TRAINER_FIELDS_INV = {v: k for k, v in _TRAINER_FIELDS.items()}
+_NORM_FIELDS_INV = {v: k for k, v in _NORM_FIELDS.items()}
+
+
+def serialize_model(pieces: List[SentencePieceEntry],
+                    trainer: Dict[str, object],
+                    normalizer: Dict[str, object]) -> bytes:
+    """Serializes a ModelProto our readers (and SentencePiece) can load.
+    Inverse of parse_model for the fields the framework uses."""
+    out = bytearray()
+    for p in pieces:
+        sub = bytearray()
+        _write_field(sub, 1, 2, p.piece)
+        _write_field(sub, 2, 5, p.score)
+        if p.type != NORMAL:
+            _write_field(sub, 3, 0, p.type)
+        _write_field(out, 1, 2, bytes(sub))
+    sub = bytearray()
+    for name, val in trainer.items():
+        _write_field(sub, _TRAINER_FIELDS_INV[name], 0, int(val))
+    _write_field(out, 2, 2, bytes(sub))
+    sub = bytearray()
+    for name, val in normalizer.items():
+        field = _NORM_FIELDS_INV[name]
+        if isinstance(val, (str, bytes)):
+            _write_field(sub, field, 2, val)
+        else:
+            _write_field(sub, field, 0, int(val))
+    _write_field(out, 3, 2, bytes(sub))
+    return bytes(out)
 
 
 def parse_model(path: str) -> ModelData:

@@ -53,9 +53,10 @@ def test_unknown_rule_fails(eet_spm):
     assert "bogus" in r.stderr
 
 
-def test_non_bpe_model_rejected(tmp_path):
-    """A .model whose TrainerSpec says unigram must fail to load instead
-    of silently mis-tokenizing (PARITY.md SentencePiece scope)."""
+def test_unigram_model_loads_with_unigram_engine(tmp_path):
+    """A .model whose TrainerSpec says unigram must load with the unigram
+    (Viterbi) engine, never silently BPE-merged (round-2: all four
+    SentencePiece model types are supported)."""
     from early_exit_tpu.tokenizer import load_tokenizer
 
     def varint(v):
@@ -79,5 +80,6 @@ def test_non_bpe_model_rejected(tmp_path):
         + field(2, 2, varint(len(trainer)) + trainer)
     p = tmp_path / "uni.model"
     p.write_bytes(model)
-    with pytest.raises(Exception):
-        load_tokenizer(str(p))
+    from early_exit_tpu.tokenizer.spm import SentencePieceUnigram
+    t = load_tokenizer(str(p), prefer_native=False)
+    assert isinstance(t, SentencePieceUnigram)
