@@ -1,15 +1,22 @@
-// SentencePiece-compatible BPE tokenizer — native engine.
+// SentencePiece-compatible tokenizer — native engine (all four model
+// types: unigram / BPE / word / char).
 //
 // The reference vendors the full SentencePiece C++ library (~13k LoC,
 // sentencepiece/src) and calls it through SWIG bindings (util/conf.py:473).
-// This is our from-scratch replacement for the inference surface the
-// framework needs: read the binary `.model` protobuf directly, encode with
-// an agenda-based best-pair-merge (O(n log n)), decode pieces to text.
-// Exposed as a plain C API for ctypes (no pybind11 in the image).
+// This is our from-scratch replacement: read the binary `.model` protobuf
+// directly, normalize through the model's precompiled charsmap (the
+// artifacts embed nmt_nfkc), encode with the model type's algorithm
+// (agenda-based best-pair merge for BPE, Viterbi max-likelihood for
+// unigram, per-word / per-char lookup otherwise), decode pieces to text.
+// Exposed as a plain C API for ctypes (no pybind11 in the image); the
+// `eet_bpe_` prefix is kept for ABI stability across model types.
 //
 // Byte-compatibility is pinned by tests against the reference artifacts
-// (sentencepiece/build/libri.bpe-256.*) and the 89k-entry golden lexicon.
+// (sentencepiece/build/libri.bpe-256.*, python/test/test_model.model)
+// and the 89k-entry golden lexicon; engine semantics are pinned by
+// cross-checks against the pure-Python oracle (tokenizer/spm.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -21,6 +28,8 @@
 namespace {
 
 constexpr int kNormal = 1, kUnknown = 2, kControl = 3, kUserDefined = 4;
+
+size_t utf8_len(uint8_t b);
 
 struct Piece {
   std::string text;
@@ -47,17 +56,77 @@ struct Reader {
   }
 };
 
+// Precompiled character-map normalizer: a darts-clone double-array trie
+// of UTF-8 source sequences whose values are byte offsets into a pool of
+// NUL-terminated replacement strings (the blob SentencePiece stores in
+// NormalizerSpec.precompiled_charsmap; layout: uint32 LE trie size, trie
+// units, pool). Unit semantics: has_leaf = bit8, label = low byte (bit31
+// poisons mismatches), offset = (u >> 10) << ((u & 0x200) >> 6); child of
+// the node at p via byte c sits at p ^ offset ^ c, the node's value unit
+// at p ^ offset.
+struct Charsmap {
+  std::vector<uint32_t> units;
+  std::string pool;
+
+  bool empty() const { return units.empty(); }
+
+  bool load(const uint8_t* buf, size_t len) {
+    if (len < 4) return false;
+    uint32_t trie_bytes;
+    memcpy(&trie_bytes, buf, 4);
+    if (4 + size_t(trie_bytes) > len || trie_bytes % 4 != 0) return false;
+    units.resize(trie_bytes / 4);
+    memcpy(units.data(), buf + 4, trie_bytes);
+    pool.assign((const char*)buf + 4 + trie_bytes, len - 4 - trie_bytes);
+    return !units.empty();
+  }
+
+  static uint32_t offset_of(uint32_t u) {
+    return (u >> 10) << ((u & 0x200) >> 6);
+  }
+
+  // Longest key matching data[start..); returns length and replacement.
+  bool longest_match(const char* data, size_t len, size_t start,
+                     size_t* match_len, const char** repl,
+                     size_t* repl_len) const {
+    size_t node_pos = offset_of(units[0]);
+    bool found = false;
+    for (size_t i = start; i < len; ++i) {
+      uint8_t c = uint8_t(data[i]);
+      size_t pos = node_pos ^ c;
+      if (pos >= units.size()) break;
+      uint32_t u = units[pos];
+      if ((u & 0x800000ffu) != c) break;
+      node_pos = pos ^ offset_of(u);
+      if ((u >> 8) & 1) {
+        uint32_t off = units[node_pos] & 0x7fffffffu;
+        if (off >= pool.size()) break;
+        size_t end = pool.find('\0', off);
+        if (end == std::string::npos) end = pool.size();
+        *match_len = i - start + 1;
+        *repl = pool.data() + off;
+        *repl_len = end - off;
+        found = true;
+      }
+    }
+    return found;
+  }
+};
+
 struct Model {
   std::vector<Piece> pieces;
   std::unordered_map<std::string, int> piece_to_id;
   std::unordered_map<std::string, float> merge_score;
   std::vector<std::string> user_defined;
+  Charsmap charsmap;
   int unk_id = 0, bos_id = 1, eos_id = 2, pad_id = -1;
   bool add_dummy_prefix = true, remove_extra_ws = true;
-  // TrainerSpec.model_type (proto default UNIGRAM=1); only BPE=2 is
-  // supported — non-BPE models are rejected at load rather than silently
-  // mis-tokenized (PARITY.md: SentencePiece scope)
+  // TrainerSpec.model_type: UNIGRAM=1 (proto default), BPE=2, WORD=3,
+  // CHAR=4 — all four are supported; anything else is rejected at load.
   int model_type = 1;
+  // unigram: unk penalty and Viterbi window (chars)
+  double unk_score = -10.0;
+  size_t max_piece_chars = 1;
 };
 
 void parse_piece(const uint8_t* buf, size_t len, Piece* out) {
@@ -91,6 +160,9 @@ void parse_spec(const uint8_t* buf, size_t len, Model* m, bool trainer) {
     int field = int(key >> 3), wt = int(key & 7);
     if (wt == 2) {
       uint64_t n = r.varint();
+      if (r.p + n > r.end) return;
+      if (!trainer && field == 2 && n > 0)   // precompiled_charsmap
+        m->charsmap.load(r.p, size_t(n));
       r.p += n;
     } else if (wt == 0) {
       uint64_t v = r.varint();
@@ -147,14 +219,30 @@ Model* load_model(const char* path) {
       break;
     }
   }
+  float min_normal_score = 0.f;
+  bool any_normal = false;
   for (size_t i = 0; i < m->pieces.size(); ++i) {
     const Piece& pc = m->pieces[i];
     m->piece_to_id.emplace(pc.text, int(i));
     if (pc.type == kNormal || pc.type == kUserDefined)
       m->merge_score[pc.text] = pc.score;
+    if (pc.type == kNormal) {
+      if (!any_normal || pc.score < min_normal_score)
+        min_normal_score = pc.score;
+      any_normal = true;
+    }
     if (pc.type == kUserDefined) m->user_defined.push_back(pc.text);
   }
-  if (m->model_type != 2) {  // only BPE is in scope — fail loudly
+  // unigram: unk penalty below the worst in-vocab piece (spm semantics)
+  m->unk_score = double(any_normal ? min_normal_score : 0.f) - 10.0;
+  for (const auto& kv : m->merge_score) {
+    size_t chars = 0;
+    for (size_t i = 0; i < kv.first.size();
+         i += utf8_len(uint8_t(kv.first[i])))
+      ++chars;
+    if (chars > m->max_piece_chars) m->max_piece_chars = chars;
+  }
+  if (m->model_type < 1 || m->model_type > 4) {  // unknown type: fail loud
     delete m;
     return nullptr;
   }
@@ -164,7 +252,30 @@ Model* load_model(const char* path) {
 // -------------------------------------------------------------- encoding ---
 const char* kWs = "\xe2\x96\x81";  // ▁ U+2581
 
-std::string normalize(const Model& m, const std::string& text) {
+std::string normalize(const Model& m, const std::string& text_in) {
+  std::string text;
+  if (!m.charsmap.empty()) {
+    // longest-match replacement through the model's charsmap (nmt_nfkc
+    // in the reference artifacts); unmatched UTF-8 chars copy through
+    text.reserve(text_in.size());
+    size_t i = 0;
+    while (i < text_in.size()) {
+      size_t mlen, rlen;
+      const char* repl;
+      if (m.charsmap.longest_match(text_in.data(), text_in.size(), i,
+                                   &mlen, &repl, &rlen)) {
+        text.append(repl, rlen);
+        i += mlen;
+      } else {
+        size_t n = utf8_len(uint8_t(text_in[i]));
+        if (i + n > text_in.size()) n = 1;
+        text.append(text_in, i, n);
+        i += n;
+      }
+    }
+  } else {
+    text = text_in;
+  }
   std::string collapsed;
   collapsed.reserve(text.size() + 4);
   bool prev_space = true;  // strips leading spaces
@@ -270,10 +381,109 @@ void bpe_segment(const Model& m, const std::string& chunk,
     if (s.alive) out->emplace_back(s.p, s.len);
 }
 
+// Unigram: Viterbi max-likelihood segmentation over UTF-8 characters.
+// Unknown characters connect the lattice with unk_score; adjacent
+// unknowns merge into one unk piece. Mirrors tokenizer/spm.py exactly
+// (same iteration order and strict-improvement updates, so ties break
+// identically across engines).
+void unigram_segment(const Model& m, const std::string& chunk,
+                     std::vector<std::string>* out) {
+  std::vector<size_t> bnd;  // byte offset of each char start, plus end
+  for (size_t i = 0; i < chunk.size();) {
+    bnd.push_back(i);
+    size_t n = utf8_len(uint8_t(chunk[i]));
+    i += (i + n > chunk.size()) ? 1 : n;
+  }
+  bnd.push_back(chunk.size());
+  size_t n = bnd.size() - 1;
+  if (n == 0) return;
+
+  const double neg_inf = -HUGE_VAL;
+  std::vector<double> best(n + 1, neg_inf);
+  std::vector<int> back(n + 1, -1);
+  std::vector<uint8_t> via_unk(n + 1, 0);
+  best[0] = 0.0;
+  for (size_t i = 0; i < n; ++i) {
+    if (best[i] == neg_inf) continue;
+    size_t limit = std::min(n, i + m.max_piece_chars);
+    for (size_t j = i + 1; j <= limit; ++j) {
+      std::string piece = chunk.substr(bnd[i], bnd[j] - bnd[i]);
+      auto it = m.merge_score.find(piece);
+      if (it != m.merge_score.end() &&
+          best[i] + double(it->second) > best[j]) {
+        best[j] = best[i] + double(it->second);
+        back[j] = int(i);
+        via_unk[j] = 0;
+      }
+    }
+    if (best[i] + m.unk_score > best[i + 1]) {
+      best[i + 1] = best[i] + m.unk_score;
+      back[i + 1] = int(i);
+      via_unk[i + 1] = 1;
+    }
+  }
+  std::vector<std::pair<std::string, bool>> rev;
+  for (size_t j = n; j > 0;) {
+    size_t i = size_t(back[j]);
+    rev.emplace_back(chunk.substr(bnd[i], bnd[j] - bnd[i]), via_unk[j]);
+    j = i;
+  }
+  bool prev_unk = false;
+  for (auto it = rev.rbegin(); it != rev.rend(); ++it) {
+    if (it->second && prev_unk)
+      out->back() += it->first;
+    else
+      out->push_back(it->first);
+    prev_unk = it->second;
+  }
+}
+
+// Char model: one piece per normalized character.
+void char_segment(const std::string& norm, std::vector<std::string>* out) {
+  for (size_t i = 0; i < norm.size();) {
+    size_t n = utf8_len(uint8_t(norm[i]));
+    if (i + n > norm.size()) n = 1;
+    out->emplace_back(norm, i, n);
+    i += n;
+  }
+}
+
+// Word model: split on the ▁ markers; each word keeps its leading ▁.
+void word_segment(const std::string& norm, std::vector<std::string>* out) {
+  size_t i = 0;
+  std::string cur;
+  auto flush = [&] {
+    if (!cur.empty()) {
+      out->push_back(std::string(kWs) + cur);
+      cur.clear();
+    }
+  };
+  while (i < norm.size()) {
+    if (norm.compare(i, 3, kWs) == 0) {
+      flush();
+      i += 3;
+    } else {
+      size_t n = utf8_len(uint8_t(norm[i]));
+      if (i + n > norm.size()) n = 1;
+      cur.append(norm, i, n);
+      i += n;
+    }
+  }
+  flush();
+}
+
 std::vector<std::string> encode_pieces(const Model& m,
                                        const std::string& text) {
   std::string norm = normalize(m, text);
   std::vector<std::string> pieces;
+  if (m.model_type == 3) {  // WORD
+    word_segment(norm, &pieces);
+    return pieces;
+  }
+  if (m.model_type == 4) {  // CHAR
+    char_segment(norm, &pieces);
+    return pieces;
+  }
   size_t i = 0;
   std::string buf;
   while (i < norm.size()) {
@@ -286,7 +496,10 @@ std::vector<std::string> encode_pieces(const Model& m,
     }
     if (matched) {
       if (!buf.empty()) {
-        bpe_segment(m, buf, &pieces);
+        if (m.model_type == 1)
+          unigram_segment(m, buf, &pieces);
+        else
+          bpe_segment(m, buf, &pieces);
         buf.clear();
       }
       pieces.push_back(*matched);
@@ -297,7 +510,12 @@ std::vector<std::string> encode_pieces(const Model& m,
       i += n;
     }
   }
-  if (!buf.empty()) bpe_segment(m, buf, &pieces);
+  if (!buf.empty()) {
+    if (m.model_type == 1)
+      unigram_segment(m, buf, &pieces);
+    else
+      bpe_segment(m, buf, &pieces);
+  }
   return pieces;
 }
 

@@ -173,3 +173,56 @@ def test_unknown_model_type_rejected(tmp_path):
     path = _mk_model([("a", -1.0)], 7, tmp_path / "bad.model")
     with pytest.raises(ValueError, match="model_type=7"):
         load_tokenizer(path, prefer_native=False)
+
+
+# ------------------------------------------------- native engine parity
+
+import shutil  # noqa: E402
+
+needs_gxx = pytest.mark.skipif(shutil.which("g++") is None,
+                               reason="no C++ toolchain")
+
+PARITY_TEXTS = ["Hello world.", "I saw a girl with a telescope.",
+                "this is a test", "xyzzy ☃☃ plugh", "",
+                "   spaces   everywhere  ", "MiXeD CaSe 123!",
+                "ＨＥＬＬＯ fullwidth"]
+
+
+def _native(path):
+    from early_exit_tpu.tokenizer.native import NativeBPE
+    return NativeBPE(path)
+
+
+@needs_gxx
+@needs_ref
+def test_native_unigram_matches_python():
+    nat, py = _native(REF_UNIGRAM), load_tokenizer(REF_UNIGRAM,
+                                                   prefer_native=False)
+    for t in PARITY_TEXTS:
+        assert nat.encode_as_ids(t) == py.encode_as_ids(t), t
+        assert nat.decode(py.encode_as_ids(t)) == py.decode(
+            py.encode_as_ids(t)), t
+
+
+@needs_gxx
+@needs_ref
+def test_native_bpe_applies_charsmap():
+    nat = _native(REF_BPE)
+    py = load_tokenizer(REF_BPE, prefer_native=False)
+    assert nat.encode_as_ids("ＨＥＬＬＯ") == \
+        nat.encode_as_ids("HELLO")
+    for t in ["HELLO WORLD ＴＥＳＴ", "A\x01B", "①②"]:
+        assert nat.encode_as_ids(t) == py.encode_as_ids(t), t
+
+
+@needs_gxx
+def test_native_char_and_word_match_python(tmp_path):
+    cpath = _mk_model([("▁", -1.0), ("h", -2.0), ("i", -2.5)],
+                      4, tmp_path / "c.model")
+    wpath = _mk_model([("▁hello", -1.0), ("▁world", -1.5)],
+                      3, tmp_path / "w.model")
+    for path, text in [(cpath, "hi hix"), (wpath, "hello unknown world")]:
+        nat, py = _native(path), load_tokenizer(path, prefer_native=False)
+        assert nat.encode_as_ids(text) == py.encode_as_ids(text)
+        assert nat.decode(py.encode_as_ids(text)) == py.decode(
+            py.encode_as_ids(text))
