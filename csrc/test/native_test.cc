@@ -15,6 +15,8 @@
 extern "C" {
 int eet_bpe_train(const char*, const char*, int, int, int, int, int,
                   const char*);
+int eet_spm_train(const char*, const char*, int, int, int, int, int,
+                  const char*, int);
 void* eet_bpe_load(const char*);
 void eet_bpe_free(void*);
 int eet_bpe_piece_size(void*);
@@ -69,6 +71,30 @@ static void test_tokenizer() {
   CHECK(eet_bpe_encode(h, longs.c_str(), ids, 8) == -1);  // overflow -> -1
   CHECK(eet_bpe_id_to_piece(h, 9999, buf, sizeof(buf)) == -1);
   eet_bpe_free(h);
+}
+
+static void test_spm_model_types() {
+  const char* corpus = "/tmp/eet_test_corpus.txt";  // written above
+  // unigram (EM), word, char trainers + their encoders under sanitizers
+  const int types[] = {1, 3, 4};
+  for (int mt : types) {
+    std::string prefix = "/tmp/eet_test_mt" + std::to_string(mt);
+    CHECK(eet_spm_train(corpus, prefix.c_str(), 40, 0, 1, 2, -1, "",
+                        mt) == 0);
+    void* h = eet_bpe_load((prefix + ".model").c_str());
+    CHECK(h != nullptr);
+    CHECK(eet_bpe_piece_size(h) == 40);
+    int ids[256];
+    int n = eet_bpe_encode(h, "THE CAT SAT", ids, 256);
+    CHECK(n > 0);
+    char buf[1024];
+    CHECK(eet_bpe_decode(h, ids, n, buf, sizeof(buf)) >= 0);
+    if (mt != 3)  // word models map OOV words to unk, lossy by design
+      CHECK(std::string(buf) == "THE CAT SAT");
+    eet_bpe_free(h);
+  }
+  CHECK(eet_spm_train(corpus, "/tmp/eet_test_bad", 40, 0, 1, 2, -1, "",
+                      9) == 3);
 }
 
 static void test_lexicon() {
@@ -131,6 +157,7 @@ static void test_flac_fuzz() {
 
 int main() {
   test_tokenizer();
+  test_spm_model_types();
   test_lexicon();
   test_trie_beam();
   test_flac_fuzz();

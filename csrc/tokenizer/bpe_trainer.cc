@@ -19,91 +19,13 @@
 #include <unordered_map>
 #include <vector>
 
+#include "spm_train_common.h"
+
 namespace {
 
-const char* kWs = "\xe2\x96\x81";
-
-size_t utf8_len(uint8_t b) {
-  if (b < 0x80) return 1;
-  if ((b >> 5) == 0x6) return 2;
-  if ((b >> 4) == 0xe) return 3;
-  if ((b >> 3) == 0x1e) return 4;
-  return 1;
-}
-
-std::vector<std::string> to_chars(const std::string& s) {
-  std::vector<std::string> out;
-  size_t i = 0;
-  while (i < s.size()) {
-    size_t n = utf8_len(uint8_t(s[i]));
-    if (i + n > s.size()) n = 1;
-    out.push_back(s.substr(i, n));
-    i += n;
-  }
-  return out;
-}
-
-// ------------------------------------------------------------- protobuf ---
-struct ProtoWriter {
-  std::string buf;
-  void varint(uint64_t v) {
-    while (v >= 0x80) {
-      buf.push_back(char((v & 0x7f) | 0x80));
-      v >>= 7;
-    }
-    buf.push_back(char(v));
-  }
-  void key(int field, int wtype) { varint(uint64_t(field) << 3 | wtype); }
-  void str(int field, const std::string& s) {
-    key(field, 2);
-    varint(s.size());
-    buf += s;
-  }
-  void f32(int field, float f) {
-    key(field, 5);
-    char tmp[4];
-    memcpy(tmp, &f, 4);
-    buf.append(tmp, 4);
-  }
-  void u64(int field, uint64_t v) {
-    key(field, 0);
-    varint(v);
-  }
-};
-
-struct TrainedPiece {
-  std::string piece;
-  float score;
-  int type;  // 1 normal, 2 unk, 3 control, 4 user_defined
-};
-
-std::string serialize_model(const std::vector<TrainedPiece>& pieces,
-                            int unk_id, int bos_id, int eos_id,
-                            int pad_id, int vocab_size) {
-  ProtoWriter model;
-  for (const auto& p : pieces) {
-    ProtoWriter sp;
-    sp.str(1, p.piece);
-    sp.f32(2, p.score);
-    if (p.type != 1) sp.u64(3, uint64_t(p.type));
-    model.str(1, sp.buf);
-  }
-  ProtoWriter trainer;
-  trainer.u64(3, 2);                     // model_type = BPE
-  trainer.u64(4, uint64_t(vocab_size));
-  trainer.u64(40, uint64_t(unk_id));
-  trainer.u64(41, uint64_t(bos_id < 0 ? 0xffffffffffffffffull : bos_id));
-  trainer.u64(42, uint64_t(eos_id < 0 ? 0xffffffffffffffffull : eos_id));
-  trainer.u64(43, uint64_t(pad_id < 0 ? 0xffffffffffffffffull : pad_id));
-  model.str(2, trainer.buf);
-  ProtoWriter norm;
-  norm.str(1, "identity");
-  norm.u64(3, 1);                        // add_dummy_prefix
-  norm.u64(4, 1);                        // remove_extra_whitespaces
-  norm.u64(5, 1);                        // escape_whitespaces
-  model.str(3, norm.buf);
-  return model.buf;
-}
+using eet_spm::kWs;
+using eet_spm::to_chars;
+using eet_spm::TrainedPiece;
 
 // --------------------------------------------------------------- trainer ---
 struct Trainer {
@@ -287,8 +209,8 @@ int eet_bpe_train(const char* corpus_path, const char* model_prefix,
   while (std::getline(f, line)) tr.add_sentence(line);
 
   auto table = tr.train();
-  std::string model = serialize_model(table, unk_id, bos_id, eos_id,
-                                      pad_id, vocab_size);
+  std::string model = eet_spm::serialize_model(
+      table, /*model_type=*/2, unk_id, bos_id, eos_id, pad_id, vocab_size);
   {
     std::ofstream mf(std::string(model_prefix) + ".model",
                      std::ios::binary);

@@ -29,6 +29,8 @@
 extern "C" {
 int eet_bpe_train(const char*, const char*, int, int, int, int, int,
                   const char*);
+int eet_spm_train(const char*, const char*, int, int, int, int, int,
+                  const char*, int);
 void* eet_bpe_load(const char*);
 void eet_bpe_free(void*);
 int eet_bpe_piece_size(void*);
@@ -159,8 +161,19 @@ int main(int argc, char** argv) {
     int eos = iflag(argc, argv, "eos_id", 2);
     int pad = iflag(argc, argv, "pad_id", -1);
     std::string ud = flag(argc, argv, "user_defined_symbols");
-    int rc = eet_bpe_train(input.c_str(), prefix.c_str(), vocab, unk,
-                           bos, eos, pad, ud.c_str());
+    std::string mtype = flag(argc, argv, "model_type", "bpe");
+    int model_type = mtype == "unigram" ? 1
+                     : mtype == "bpe"   ? 2
+                     : mtype == "word"  ? 3
+                     : mtype == "char"  ? 4
+                                        : 0;
+    if (model_type == 0) {
+      fprintf(stderr, "unknown model_type: %s (unigram|bpe|word|char)\n",
+              mtype.c_str());
+      return 1;
+    }
+    int rc = eet_spm_train(input.c_str(), prefix.c_str(), vocab, unk,
+                           bos, eos, pad, ud.c_str(), model_type);
     if (rc) fprintf(stderr, "train failed (%d)\n", rc);
     return rc;
   }

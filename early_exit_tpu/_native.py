@@ -35,7 +35,8 @@ def build_cli(verbose: bool = False) -> str:
     out = os.path.join(_BUILD_DIR, "eet_spm")
     srcs = [os.path.join(_CSRC, "tokenizer", "spm_cli.cc"),
             os.path.join(_CSRC, "tokenizer", "bpe_tokenizer.cc"),
-            os.path.join(_CSRC, "tokenizer", "bpe_trainer.cc")]
+            os.path.join(_CSRC, "tokenizer", "bpe_trainer.cc"),
+            os.path.join(_CSRC, "tokenizer", "unigram_trainer.cc")]
     cmd = ["g++", "-O3", "-std=c++17", "-o", out, *srcs]
     if verbose:
         print("building CLI:", " ".join(cmd))
@@ -134,3 +135,7 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.eet_bpe_train.argtypes = [c.c_char_p, c.c_char_p, c.c_int,
                                   c.c_int, c.c_int, c.c_int, c.c_int,
                                   c.c_char_p]
+    lib.eet_spm_train.restype = c.c_int
+    lib.eet_spm_train.argtypes = [c.c_char_p, c.c_char_p, c.c_int,
+                                  c.c_int, c.c_int, c.c_int, c.c_int,
+                                  c.c_char_p, c.c_int]

@@ -1,0 +1,142 @@
+"""Unigram/char/word trainers (eet_spm_train) — the spm_train surface for
+the three non-BPE model types (reference trains these via the vendored
+sentencepiece/src/unigram_model_trainer.cc, char_model_trainer.cc,
+word_model_trainer.cc; our BPE trainer has its own tests in
+test_bpe_trainer.py)."""
+
+import math
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Corpus with clear subword structure for the unigram EM to find."""
+    words = (["internationalization"] * 50 + ["international"] * 80 +
+             ["nationalize"] * 60 + ["nation"] * 120 +
+             ["rationalize"] * 40 + ["ration"] * 70 + ["the"] * 300 +
+             ["there"] * 100 + ["then"] * 90 + ["an"] * 200)
+    rng = random.Random(0)
+    rng.shuffle(words)
+    path = tmp_path_factory.mktemp("spm") / "corpus.txt"
+    with open(path, "w") as f:
+        for i in range(0, len(words), 8):
+            f.write(" ".join(words[i:i + 8]) + "\n")
+    return str(path)
+
+
+def _train(corpus_path, prefix, vocab, model_type, user_defined=b""):
+    from early_exit_tpu import _native
+    lib = _native.get_lib()
+    rc = lib.eet_spm_train(corpus_path.encode(), prefix.encode(), vocab,
+                           0, 1, 2, -1, user_defined, model_type)
+    assert rc == 0
+    return prefix + ".model"
+
+
+def test_unigram_trainer_learns_subwords(corpus, tmp_path):
+    from early_exit_tpu.tokenizer.spm import load_tokenizer
+    model = _train(corpus, str(tmp_path / "uni"), 64, 1)
+    t = load_tokenizer(model, prefer_native=False)
+    assert t.get_piece_size() == 64
+    vocab = {t.id_to_piece(i) for i in range(64)}
+    # frequent whole words and shared stems must be single pieces
+    assert "▁the" in vocab and "▁nation" in vocab
+    # unseen words decompose into learned subwords, not characters
+    pieces = t.encode_as_pieces("nationalization")
+    assert pieces[0] == "▁nation"
+    assert len(pieces) <= 4
+    # round trip
+    s = "the nation there"
+    assert t.decode(t.encode_as_ids(s)) == s
+
+
+def test_unigram_scores_are_log_probabilities(corpus, tmp_path):
+    from early_exit_tpu.tokenizer import proto
+    model = _train(corpus, str(tmp_path / "uni"), 64, 1)
+    d = proto.parse_model(model)
+    normal = [p for p in d.pieces if p.type == proto.NORMAL]
+    assert all(p.score < 0 for p in normal)
+    total = sum(math.exp(p.score) for p in normal)
+    assert total == pytest.approx(1.0, rel=0.2)   # EM-normalized
+
+
+def test_unigram_native_matches_python(corpus, tmp_path):
+    from early_exit_tpu.tokenizer.native import NativeBPE
+    from early_exit_tpu.tokenizer.spm import load_tokenizer
+    model = _train(corpus, str(tmp_path / "uni"), 64, 1)
+    nat = NativeBPE(model)
+    py = load_tokenizer(model, prefer_native=False)
+    for s in ["the nation", "internationalization station",
+              "xyzzy ration", ""]:
+        assert nat.encode_as_ids(s) == py.encode_as_ids(s), s
+
+
+def test_word_trainer(corpus, tmp_path):
+    from early_exit_tpu.tokenizer.spm import load_tokenizer
+    model = _train(corpus, str(tmp_path / "w"), 16, 3)
+    t = load_tokenizer(model, prefer_native=False)
+    # most frequent words get the best (highest) scores
+    vocab = {t.id_to_piece(i): t.scores[i] for i in range(16)
+             if t.types[i] == 1}
+    assert "▁the" in vocab and "▁an" in vocab
+    assert vocab["▁the"] == max(vocab.values())
+    assert t.encode_as_ids("the unknownword") == \
+        [t.piece_to_id["▁the"], t.unk_id()]
+
+
+def test_char_trainer(corpus, tmp_path):
+    from early_exit_tpu.tokenizer.spm import load_tokenizer
+    model = _train(corpus, str(tmp_path / "c"), 32, 4)
+    t = load_tokenizer(model, prefer_native=False)
+    vocab = {t.id_to_piece(i) for i in range(32) if t.types[i] == 1}
+    assert "▁" in vocab and "e" in vocab and "t" in vocab
+    s = "the nation"
+    assert t.decode(t.encode_as_ids(s)) == s
+    assert len(t.encode_as_ids(s)) == len("▁the▁nation")
+
+
+def test_specials_and_user_defined_placement(corpus, tmp_path):
+    from early_exit_tpu.tokenizer.spm import load_tokenizer
+    from early_exit_tpu import _native
+    lib = _native.get_lib()
+    prefix = str(tmp_path / "ud")
+    rc = lib.eet_spm_train(corpus.encode(), prefix.encode(), 32,
+                           31, 1, 2, 30, b"@", 1)
+    assert rc == 0
+    t = load_tokenizer(prefix + ".model", prefer_native=False)
+    assert t.unk_id() == 31 and t.pad_id() == 30
+    assert t.id_to_piece(1) == "<s>" and t.id_to_piece(2) == "</s>"
+    assert "@" in [t.id_to_piece(i) for i in range(32)]
+
+
+def test_cli_model_type_flag(corpus, tmp_path):
+    from early_exit_tpu import _native
+    cli = _native.build_cli()
+    prefix = str(tmp_path / "cli_uni")
+    r = subprocess.run([cli, "train", f"--input={corpus}",
+                        f"--model_prefix={prefix}", "--vocab_size=48",
+                        "--model_type=unigram"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    r2 = subprocess.run([cli, "encode", f"--model={prefix}.model",
+                         "--output_format=piece"],
+                        input="the nation\n", capture_output=True,
+                        text=True)
+    assert r2.returncode == 0
+    assert "▁the" in r2.stdout.split()
+    r3 = subprocess.run([cli, "train", f"--input={corpus}",
+                         f"--model_prefix={prefix}", "--model_type=bogus"],
+                        capture_output=True, text=True)
+    assert r3.returncode == 1
+    assert "bogus" in r3.stderr
