@@ -25,7 +25,11 @@
 #include <unordered_map>
 #include <vector>
 
+#include "charsmap.h"
+
 namespace {
+
+using eet_spm::Charsmap;
 
 constexpr int kNormal = 1, kUnknown = 2, kControl = 3, kUserDefined = 4;
 
@@ -53,63 +57,6 @@ struct Reader {
     }
     ok = false;
     return v;
-  }
-};
-
-// Precompiled character-map normalizer: a darts-clone double-array trie
-// of UTF-8 source sequences whose values are byte offsets into a pool of
-// NUL-terminated replacement strings (the blob SentencePiece stores in
-// NormalizerSpec.precompiled_charsmap; layout: uint32 LE trie size, trie
-// units, pool). Unit semantics: has_leaf = bit8, label = low byte (bit31
-// poisons mismatches), offset = (u >> 10) << ((u & 0x200) >> 6); child of
-// the node at p via byte c sits at p ^ offset ^ c, the node's value unit
-// at p ^ offset.
-struct Charsmap {
-  std::vector<uint32_t> units;
-  std::string pool;
-
-  bool empty() const { return units.empty(); }
-
-  bool load(const uint8_t* buf, size_t len) {
-    if (len < 4) return false;
-    uint32_t trie_bytes;
-    memcpy(&trie_bytes, buf, 4);
-    if (4 + size_t(trie_bytes) > len || trie_bytes % 4 != 0) return false;
-    units.resize(trie_bytes / 4);
-    memcpy(units.data(), buf + 4, trie_bytes);
-    pool.assign((const char*)buf + 4 + trie_bytes, len - 4 - trie_bytes);
-    return !units.empty();
-  }
-
-  static uint32_t offset_of(uint32_t u) {
-    return (u >> 10) << ((u & 0x200) >> 6);
-  }
-
-  // Longest key matching data[start..); returns length and replacement.
-  bool longest_match(const char* data, size_t len, size_t start,
-                     size_t* match_len, const char** repl,
-                     size_t* repl_len) const {
-    size_t node_pos = offset_of(units[0]);
-    bool found = false;
-    for (size_t i = start; i < len; ++i) {
-      uint8_t c = uint8_t(data[i]);
-      size_t pos = node_pos ^ c;
-      if (pos >= units.size()) break;
-      uint32_t u = units[pos];
-      if ((u & 0x800000ffu) != c) break;
-      node_pos = pos ^ offset_of(u);
-      if ((u >> 8) & 1) {
-        uint32_t off = units[node_pos] & 0x7fffffffu;
-        if (off >= pool.size()) break;
-        size_t end = pool.find('\0', off);
-        if (end == std::string::npos) end = pool.size();
-        *match_len = i - start + 1;
-        *repl = pool.data() + off;
-        *repl_len = end - off;
-        found = true;
-      }
-    }
-    return found;
   }
 };
 
@@ -252,7 +199,9 @@ Model* load_model(const char* path) {
 // -------------------------------------------------------------- encoding ---
 const char* kWs = "\xe2\x96\x81";  // ▁ U+2581
 
-std::string normalize(const Model& m, const std::string& text_in) {
+// charsmap + whitespace collapse, before dummy-prefix/▁-escaping (this
+// half is what spm_normalize outputs; the C API exposes it)
+std::string normalize_plain(const Model& m, const std::string& text_in) {
   std::string text;
   if (!m.charsmap.empty()) {
     // longest-match replacement through the model's charsmap (nmt_nfkc
@@ -291,6 +240,11 @@ std::string normalize(const Model& m, const std::string& text_in) {
   if (m.remove_extra_ws && !collapsed.empty() &&
       collapsed.back() == ' ')
     collapsed.pop_back();
+  return collapsed;
+}
+
+std::string normalize(const Model& m, const std::string& text_in) {
+  std::string collapsed = normalize_plain(m, text_in);
   std::string out;
   if (m.add_dummy_prefix && !collapsed.empty()) out = " " + collapsed;
   else out = collapsed;
@@ -525,6 +479,18 @@ std::vector<std::string> encode_pieces(const Model& m,
 extern "C" {
 
 void* eet_bpe_load(const char* path) { return load_model(path); }
+
+// Normalization only (charsmap + whitespace collapse) — the
+// spm_normalize surface for a loaded model's rule set.
+int eet_bpe_normalize(void* h, const char* text, char* out, int max_out) {
+  auto* m = static_cast<Model*>(h);
+  std::string norm = normalize_plain(*m, text);
+  int n = int(norm.size());
+  if (n >= max_out) return -1;
+  memcpy(out, norm.data(), n);
+  out[n] = 0;
+  return n;
+}
 
 void eet_bpe_free(void* h) { delete static_cast<Model*>(h); }
 

@@ -19,6 +19,7 @@
 #include <unordered_map>
 #include <vector>
 
+#include "charsmap.h"
 #include "spm_train_common.h"
 
 namespace {
@@ -186,9 +187,13 @@ extern "C" {
 
 // Trains a BPE model over a corpus file; writes <prefix>.model and
 // <prefix>.vocab. user_defined: comma-separated. Returns 0 on success.
-int eet_bpe_train(const char* corpus_path, const char* model_prefix,
-                  int vocab_size, int unk_id, int bos_id, int eos_id,
-                  int pad_id, const char* user_defined) {
+// The _norm variant normalizes the corpus through a precompiled charsmap
+// blob and embeds it (with its rule-set name) in the emitted model.
+int eet_bpe_train_norm(const char* corpus_path, const char* model_prefix,
+                       int vocab_size, int unk_id, int bos_id, int eos_id,
+                       int pad_id, const char* user_defined,
+                       const char* norm_name, const char* charsmap_blob,
+                       long blob_len) {
   Trainer tr;
   tr.vocab_size = vocab_size;
   tr.unk_id = unk_id;
@@ -203,14 +208,23 @@ int eet_bpe_train(const char* corpus_path, const char* model_prefix,
   }
   for (const auto& ud : tr.user_defined) tr.intern(ud);
 
+  eet_spm::Charsmap cm;
+  if (charsmap_blob && blob_len > 0 &&
+      !cm.load((const uint8_t*)charsmap_blob, size_t(blob_len)))
+    return 4;
+
   std::ifstream f(corpus_path);
   if (!f) return 1;
   std::string line;
-  while (std::getline(f, line)) tr.add_sentence(line);
+  while (std::getline(f, line))
+    tr.add_sentence(cm.empty() ? line : cm.normalize_text(line));
 
   auto table = tr.train();
+  std::string nname = (norm_name && *norm_name) ? norm_name : "identity";
   std::string model = eet_spm::serialize_model(
-      table, /*model_type=*/2, unk_id, bos_id, eos_id, pad_id, vocab_size);
+      table, /*model_type=*/2, unk_id, bos_id, eos_id, pad_id, vocab_size,
+      nname, std::string(charsmap_blob ? charsmap_blob : "",
+                         charsmap_blob ? size_t(blob_len) : 0));
   {
     std::ofstream mf(std::string(model_prefix) + ".model",
                      std::ios::binary);
@@ -224,6 +238,14 @@ int eet_bpe_train(const char* corpus_path, const char* model_prefix,
       vf << p.piece << "\t" << int(p.score) << "\n";
   }
   return 0;
+}
+
+int eet_bpe_train(const char* corpus_path, const char* model_prefix,
+                  int vocab_size, int unk_id, int bos_id, int eos_id,
+                  int pad_id, const char* user_defined) {
+  return eet_bpe_train_norm(corpus_path, model_prefix, vocab_size, unk_id,
+                            bos_id, eos_id, pad_id, user_defined,
+                            "identity", nullptr, 0);
 }
 
 }  // extern "C"

@@ -13,24 +13,39 @@
 //   eet_spm normalize [--normalization_rule_name=identity|nfkc]
 //                     [--remove_extra_whitespaces=true]
 //
-// normalize covers the spm_normalize tool (CMakeLists.txt:269) for the
-// rules the shipped artifacts use: `identity` (the BPE models' spec) plus
-// an NFKC-lite rule (fullwidth ASCII forms, ideographic space, NBSP) —
-// full NFKC tables are out of scope (PARITY.md §4).
+// normalize covers the spm_normalize tool (CMakeLists.txt:269):
+//   --model=m.model applies the model's embedded charsmap;
+//   --normalization_rule_tsv compiles and applies a rule file;
+//   --normalization_rule_name={identity,nfkc,nmt_nfkc} resolves the
+//   generated rule TSVs (tools/gen_norm_rules.py -> csrc/tokenizer/data/,
+//   override the directory with EET_NORM_DATA), falling back to an
+//   NFKC-lite subset if the data files are absent.
+// train accepts the same --normalization_rule_{name,tsv} flags and embeds
+// the compiled charsmap in the emitted model, like the vendored
+// spm_train.
+
+#include <unistd.h>
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <fstream>
 #include <iostream>
 #include <sstream>
 #include <string>
 #include <vector>
+
+#include "charsmap.h"
 
 extern "C" {
 int eet_bpe_train(const char*, const char*, int, int, int, int, int,
                   const char*);
 int eet_spm_train(const char*, const char*, int, int, int, int, int,
                   const char*, int);
+int eet_spm_train_norm(const char*, const char*, int, int, int, int, int,
+                       const char*, int, const char*, const char*);
+int eet_bpe_normalize(void*, const char*, char*, int);
 void* eet_bpe_load(const char*);
 void eet_bpe_free(void*);
 int eet_bpe_piece_size(void*);
@@ -123,6 +138,31 @@ std::string normalize_line(const std::string& line, bool nfkc,
   return out;
 }
 
+// Locates the generated rule TSV for a named rule set: $EET_NORM_DATA,
+// then csrc/tokenizer/data relative to the executable and to the CWD.
+std::string find_rule_tsv(const std::string& name) {
+  std::vector<std::string> dirs;
+  if (const char* env = getenv("EET_NORM_DATA")) dirs.push_back(env);
+  char exe[4096];
+  ssize_t n = readlink("/proc/self/exe", exe, sizeof(exe) - 1);
+  if (n > 0) {
+    exe[n] = 0;
+    std::string d(exe);
+    size_t slash = d.rfind('/');
+    if (slash != std::string::npos) {
+      d = d.substr(0, slash);
+      dirs.push_back(d + "/../csrc/tokenizer/data");
+    }
+  }
+  dirs.push_back("csrc/tokenizer/data");
+  for (const auto& d : dirs) {
+    std::string path = d + "/" + name + ".tsv";
+    std::ifstream f(path);
+    if (f) return path;
+  }
+  return "";
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -137,18 +177,56 @@ int main(int argc, char** argv) {
   if (cmd == "normalize") {
     std::string rule =
         flag(argc, argv, "normalization_rule_name", "identity");
-    if (rule != "identity" && rule != "nfkc") {
+    std::string tsv = flag(argc, argv, "normalization_rule_tsv");
+    std::string model = flag(argc, argv, "model");
+    bool remove_ws =
+        flag(argc, argv, "remove_extra_whitespaces", "true") != "false";
+
+    if (!model.empty()) {              // the loaded model's own rule set
+      void* h = eet_bpe_load(model.c_str());
+      if (!h) {
+        fprintf(stderr, "cannot load model: %s\n", model.c_str());
+        return 1;
+      }
+      std::string line;
+      std::vector<char> buf(1 << 20);
+      while (std::getline(std::cin, line)) {
+        int n = eet_bpe_normalize(h, line.c_str(), buf.data(),
+                                  int(buf.size()));
+        if (n >= 0) printf("%s\n", buf.data());
+      }
+      eet_bpe_free(h);
+      return 0;
+    }
+
+    eet_spm::Charsmap cm;
+    if (tsv.empty() && rule != "identity" && rule != "nfkc" &&
+        rule != "nmt_nfkc") {
       fprintf(stderr,
-              "unsupported normalization rule: %s (identity|nfkc)\n",
+              "unsupported normalization rule: %s "
+              "(identity|nfkc|nmt_nfkc)\n",
               rule.c_str());
       return 1;
     }
-    bool remove_ws =
-        flag(argc, argv, "remove_extra_whitespaces", "true") != "false";
+    if (tsv.empty() && rule != "identity") tsv = find_rule_tsv(rule);
+    if (!tsv.empty()) {
+      std::vector<std::pair<std::string, std::string>> rules;
+      if (!eet_spm::load_rule_tsv(tsv.c_str(), &rules)) {
+        fprintf(stderr, "cannot read rule tsv: %s\n", tsv.c_str());
+        return 1;
+      }
+      std::string blob = eet_spm::compile_charsmap(rules);
+      cm.load((const uint8_t*)blob.data(), blob.size());
+    }
+    bool lite = cm.empty() && rule != "identity";  // data files absent
     std::string line;
-    while (std::getline(std::cin, line))
-      printf("%s\n",
-             normalize_line(line, rule == "nfkc", remove_ws).c_str());
+    while (std::getline(std::cin, line)) {
+      std::string mapped =
+          cm.empty() ? normalize_line(line, lite, false)
+                     : cm.normalize_text(line);
+      if (remove_ws) mapped = normalize_line(mapped, false, true);
+      printf("%s\n", mapped.c_str());
+    }
     return 0;
   }
 
@@ -172,8 +250,21 @@ int main(int argc, char** argv) {
               mtype.c_str());
       return 1;
     }
-    int rc = eet_spm_train(input.c_str(), prefix.c_str(), vocab, unk,
-                           bos, eos, pad, ud.c_str(), model_type);
+    std::string norm_name =
+        flag(argc, argv, "normalization_rule_name", "identity");
+    std::string norm_tsv = flag(argc, argv, "normalization_rule_tsv");
+    if (norm_tsv.empty() && norm_name != "identity") {
+      norm_tsv = find_rule_tsv(norm_name);
+      if (norm_tsv.empty()) {
+        fprintf(stderr,
+                "no rule tsv for %s (run tools/gen_norm_rules.py or set "
+                "EET_NORM_DATA)\n", norm_name.c_str());
+        return 1;
+      }
+    }
+    int rc = eet_spm_train_norm(input.c_str(), prefix.c_str(), vocab, unk,
+                                bos, eos, pad, ud.c_str(), model_type,
+                                norm_name.c_str(), norm_tsv.c_str());
     if (rc) fprintf(stderr, "train failed (%d)\n", rc);
     return rc;
   }

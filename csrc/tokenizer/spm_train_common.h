@@ -13,6 +13,7 @@
 #include <map>
 #include <sstream>
 #include <string>
+#include <type_traits>
 #include <vector>
 
 namespace eet_spm {
@@ -107,14 +108,21 @@ inline std::string serialize_model(const std::vector<TrainedPiece>& pieces,
   return model.buf;
 }
 
-// Reads a corpus line by line, whitespace-pretokenizes, and returns the
-// distinct ▁-escaped words with their frequencies.
+// Reads a corpus line by line, normalizes through the optional charsmap
+// (any type with normalize_text(std::string) — charsmap.h's Charsmap),
+// whitespace-pretokenizes, and returns the distinct ▁-escaped words with
+// their frequencies.
+template <typename CM = int>
 inline bool load_word_counts(const char* corpus_path,
-                             std::map<std::string, int64_t>* counts) {
+                             std::map<std::string, int64_t>* counts,
+                             const CM* charsmap = nullptr) {
   std::ifstream f(corpus_path);
   if (!f) return false;
   std::string line;
   while (std::getline(f, line)) {
+    if constexpr (!std::is_same_v<CM, int>) {
+      if (charsmap) line = charsmap->normalize_text(line);
+    }
     std::istringstream iss(line);
     std::string w;
     while (iss >> w) (*counts)[std::string(kWs) + w] += 1;

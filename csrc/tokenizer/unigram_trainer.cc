@@ -22,6 +22,7 @@
 #include <unordered_map>
 #include <vector>
 
+#include "charsmap.h"
 #include "spm_train_common.h"
 
 namespace {
@@ -250,18 +251,48 @@ extern "C" {
 
 // Trains a unigram (model_type=1), word (3) or char (4) model over a
 // corpus file; writes <prefix>.model and <prefix>.vocab.  BPE (2) lives
-// in eet_bpe_train (bpe_trainer.cc); eet_spm_train dispatches there too
-// so callers have one entry point for all four types.
-int eet_bpe_train(const char*, const char*, int, int, int, int, int,
-                  const char*);
+// in bpe_trainer.cc; eet_spm_train* dispatch there too so callers have
+// one entry point for all four types.  The _norm variant additionally
+// compiles a normalization rule TSV (tools/gen_norm_rules.py emits the
+// nfkc / nmt_nfkc built-ins) into a charsmap that is applied to the
+// corpus during training and embedded in the emitted model, exactly as
+// the vendored spm_train does with --normalization_rule_{name,tsv}.
+int eet_bpe_train_norm(const char*, const char*, int, int, int, int, int,
+                       const char*, const char*, const char*, long);
+int eet_spm_train_norm(const char* corpus_path, const char* model_prefix,
+                       int vocab_size, int unk_id, int bos_id, int eos_id,
+                       int pad_id, const char* user_defined, int model_type,
+                       const char* norm_name, const char* norm_tsv);
 
 int eet_spm_train(const char* corpus_path, const char* model_prefix,
                   int vocab_size, int unk_id, int bos_id, int eos_id,
                   int pad_id, const char* user_defined, int model_type) {
+  return eet_spm_train_norm(corpus_path, model_prefix, vocab_size, unk_id,
+                            bos_id, eos_id, pad_id, user_defined,
+                            model_type, "identity", "");
+}
+
+int eet_spm_train_norm(const char* corpus_path, const char* model_prefix,
+                       int vocab_size, int unk_id, int bos_id, int eos_id,
+                       int pad_id, const char* user_defined, int model_type,
+                       const char* norm_name, const char* norm_tsv) {
+  std::string blob;
+  if (norm_tsv && *norm_tsv) {
+    std::vector<std::pair<std::string, std::string>> rules;
+    if (!eet_spm::load_rule_tsv(norm_tsv, &rules)) return 4;
+    blob = eet_spm::compile_charsmap(rules);
+    if (blob.empty()) return 4;
+  }
+  std::string nname = (norm_name && *norm_name) ? norm_name : "identity";
   if (model_type == 2)
-    return eet_bpe_train(corpus_path, model_prefix, vocab_size, unk_id,
-                         bos_id, eos_id, pad_id, user_defined);
+    return eet_bpe_train_norm(corpus_path, model_prefix, vocab_size,
+                              unk_id, bos_id, eos_id, pad_id, user_defined,
+                              nname.c_str(), blob.data(), long(blob.size()));
   if (model_type < 1 || model_type > 4) return 3;
+  eet_spm::Charsmap cm;
+  if (!blob.empty() &&
+      !cm.load((const uint8_t*)blob.data(), blob.size()))
+    return 4;
 
   std::vector<std::string> ud;
   if (user_defined && *user_defined) {
@@ -278,7 +309,9 @@ int eet_spm_train(const char* corpus_path, const char* model_prefix,
   }
 
   std::map<std::string, int64_t> word_counts;
-  if (!eet_spm::load_word_counts(corpus_path, &word_counts)) return 1;
+  if (!eet_spm::load_word_counts(corpus_path, &word_counts,
+                                 cm.empty() ? nullptr : &cm))
+    return 1;
 
   int n_special = 1 + (bos_id >= 0) + (eos_id >= 0) + (pad_id >= 0) +
                   int(ud.size());
@@ -305,7 +338,8 @@ int eet_spm_train(const char* corpus_path, const char* model_prefix,
   auto table = eet_spm::assemble_table(learned, ud, vocab_size, unk_id,
                                        bos_id, eos_id, pad_id);
   std::string model = eet_spm::serialize_model(
-      table, model_type, unk_id, bos_id, eos_id, pad_id, vocab_size);
+      table, model_type, unk_id, bos_id, eos_id, pad_id, vocab_size,
+      nname, blob);
   {
     std::ofstream mf(std::string(model_prefix) + ".model",
                      std::ios::binary);

@@ -36,7 +36,8 @@ def build_cli(verbose: bool = False) -> str:
     srcs = [os.path.join(_CSRC, "tokenizer", "spm_cli.cc"),
             os.path.join(_CSRC, "tokenizer", "bpe_tokenizer.cc"),
             os.path.join(_CSRC, "tokenizer", "bpe_trainer.cc"),
-            os.path.join(_CSRC, "tokenizer", "unigram_trainer.cc")]
+            os.path.join(_CSRC, "tokenizer", "unigram_trainer.cc"),
+            os.path.join(_CSRC, "tokenizer", "charsmap_builder.cc")]
     cmd = ["g++", "-O3", "-std=c++17", "-o", out, *srcs]
     if verbose:
         print("building CLI:", " ".join(cmd))
@@ -135,7 +136,17 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.eet_bpe_train.argtypes = [c.c_char_p, c.c_char_p, c.c_int,
                                   c.c_int, c.c_int, c.c_int, c.c_int,
                                   c.c_char_p]
+    lib.eet_charsmap_compile.restype = c.c_long
+    lib.eet_charsmap_compile.argtypes = [c.c_char_p, c.c_char_p]
     lib.eet_spm_train.restype = c.c_int
     lib.eet_spm_train.argtypes = [c.c_char_p, c.c_char_p, c.c_int,
                                   c.c_int, c.c_int, c.c_int, c.c_int,
                                   c.c_char_p, c.c_int]
+    lib.eet_spm_train_norm.restype = c.c_int
+    lib.eet_spm_train_norm.argtypes = [c.c_char_p, c.c_char_p, c.c_int,
+                                       c.c_int, c.c_int, c.c_int, c.c_int,
+                                       c.c_char_p, c.c_int, c.c_char_p,
+                                       c.c_char_p]
+    lib.eet_bpe_normalize.restype = c.c_int
+    lib.eet_bpe_normalize.argtypes = [c.c_void_p, c.c_char_p, c.c_char_p,
+                                      c.c_int]

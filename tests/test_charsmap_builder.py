@@ -1,0 +1,173 @@
+"""Normalizer-rule framework: rule TSV → compiled charsmap → engines.
+
+The compiler (csrc/tokenizer/charsmap_builder.cc) emits the same blob
+format the reference artifacts embed (NormalizerSpec.precompiled_charsmap,
+darts-clone trie); the rule data itself is generated from CPython's
+unicodedata (tools/gen_norm_rules.py) and cross-checked here against the
+vendored library's own nmt_nfkc blob."""
+
+import os
+import shutil
+import subprocess
+import unicodedata
+
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NMT_TSV = os.path.join(REPO, "csrc", "tokenizer", "data", "nmt_nfkc.tsv")
+REF_BPE = "/root/reference/sentencepiece/build/libri.bpe-256.model"
+
+
+def _compile(tsv_path, out_path):
+    from early_exit_tpu import _native
+    lib = _native.get_lib()
+    n = lib.eet_charsmap_compile(str(tsv_path).encode(),
+                                 str(out_path).encode())
+    assert n > 0
+    with open(out_path, "rb") as f:
+        return f.read()
+
+
+def test_small_tsv_roundtrip_exact(tmp_path):
+    from early_exit_tpu.tokenizer.charsmap import Charsmap
+    rules = {"A": "a", "AB": "x", "ABC": "", "①": "1", "ｶﾞ": "ガ",
+             "Z": "zz"}
+    tsv = tmp_path / "rules.tsv"
+    with open(tsv, "w") as f:
+        f.write("# comment line\n")
+        for src, dst in rules.items():
+            f.write(" ".join(f"{ord(c):04X}" for c in src) + "\t"
+                    + " ".join(f"{ord(c):04X}" for c in dst) + "\n")
+    blob = _compile(tsv, tmp_path / "rules.bin")
+    cm = Charsmap(blob)
+    got = {k.decode(): v.decode() for k, v in cm.extract_rules().items()}
+    assert got == rules
+    # longest match wins; unmatched chars copy through
+    assert cm.normalize("ABC") == ""
+    assert cm.normalize("ABQ") == "xQ"
+    assert cm.normalize("AQ") == "aQ"
+    assert cm.normalize("QRS") == "QRS"
+    assert cm.normalize("ZZ") == "zzzz"
+
+
+@pytest.fixture(scope="module")
+def nmt_blob(tmp_path_factory):
+    assert os.path.exists(NMT_TSV), "run tools/gen_norm_rules.py"
+    out = tmp_path_factory.mktemp("cm") / "nmt.bin"
+    return _compile(NMT_TSV, out)
+
+
+def test_nmt_nfkc_blob_matches_unicodedata(nmt_blob):
+    from early_exit_tpu.tokenizer.charsmap import Charsmap
+    cm = Charsmap(nmt_blob)
+    # NFKC on compat chars, composition, Hangul, plus nmt control rules
+    cases = ["Ａ ｂ ｃ", "①②③", "ﬁﬂ", "ｶﾞｷﾞ", "é", "각",
+             "№Ⅸ", "A\x01B", "x​y"]
+    for s in cases:
+        exp = unicodedata.normalize("NFKC", s)
+        for cp in (list(range(1, 9)) + [0x0B] + list(range(0x0E, 0x20))
+                   + [0x7F]):
+            exp = exp.replace(chr(cp), "")
+        for cp in [0x09, 0x0A, 0x0C, 0x0D, 0x200B, 0x200C, 0xFEFF,
+                   0x2028, 0x2029]:
+            exp = exp.replace(chr(cp), " ")
+        assert cm.normalize(s) == exp, s
+    # printable ASCII identity
+    ascii_s = "THE QUICK brown fox 0123 ,.!?"
+    assert cm.normalize(ascii_s) == ascii_s
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BPE),
+                    reason="reference artifacts not present")
+def test_our_rules_agree_with_reference_blob(nmt_blob):
+    """On every key of OUR generated rule set, the reference's vendored
+    nmt_nfkc blob must produce the same replacement (our derivation from
+    unicodedata matches the vendored Unicode data)."""
+    from early_exit_tpu.tokenizer import proto
+    from early_exit_tpu.tokenizer.charsmap import Charsmap
+    ours = Charsmap(nmt_blob)
+    d = proto.parse_model(REF_BPE)
+    theirs = Charsmap(d.normalizer["precompiled_charsmap"])
+    checked = agree = 0
+    with open(NMT_TSV) as f:
+        for i, line in enumerate(f):
+            if line.startswith("#") or i % 17:      # sample for speed
+                continue
+            src_hex, _, _ = line.rstrip("\n").partition("\t")
+            src = "".join(chr(int(x, 16)) for x in src_hex.split())
+            data = src.encode()
+            m_ref = theirs.longest_match(data, 0)
+            if m_ref is None or m_ref[0] != len(data):
+                continue            # outside the reference's key set
+            checked += 1
+            if ours.normalize(src) == m_ref[1].decode("utf-8"):
+                agree += 1
+    assert checked > 500
+    assert agree / checked > 0.995, (agree, checked)
+
+
+def test_trained_model_embeds_charsmap(tmp_path):
+    from early_exit_tpu import _native
+    from early_exit_tpu.tokenizer.native import NativeBPE
+    from early_exit_tpu.tokenizer.spm import load_tokenizer
+    lib = _native.get_lib()
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("the nation of the nations\nthe ration there\n" * 20)
+    for mtype in (1, 2):
+        prefix = str(tmp_path / f"m{mtype}")
+        rc = lib.eet_spm_train_norm(str(corpus).encode(), prefix.encode(),
+                                    48, 0, 1, 2, -1, b"", mtype,
+                                    b"nmt_nfkc", NMT_TSV.encode())
+        assert rc == 0
+        for engine in (NativeBPE(prefix + ".model"),
+                       load_tokenizer(prefix + ".model",
+                                      prefer_native=False)):
+            assert engine.encode_as_ids("ｔｈｅ nation") == \
+                engine.encode_as_ids("the nation"), mtype
+    # corpus normalized during training too: train on fullwidth text
+    corpus2 = tmp_path / "fw.txt"
+    corpus2.write_text("ｔｈｅ ｔｈｅ ｔｈｅ nation\n" * 30)
+    prefix2 = str(tmp_path / "fw")
+    rc = lib.eet_spm_train_norm(str(corpus2).encode(), prefix2.encode(),
+                                32, 0, 1, 2, -1, b"", 1,
+                                b"nmt_nfkc", NMT_TSV.encode())
+    assert rc == 0
+    t = load_tokenizer(prefix2 + ".model", prefer_native=False)
+    assert "▁the" in [t.id_to_piece(i) for i in range(32)]
+
+
+def test_cli_normalize_surfaces(tmp_path):
+    from early_exit_tpu import _native
+    cli = _native.build_cli()
+    env = dict(os.environ,
+               EET_NORM_DATA=os.path.join(REPO, "csrc", "tokenizer",
+                                          "data"))
+    r = subprocess.run([cli, "normalize",
+                        "--normalization_rule_name=nmt_nfkc"],
+                       input="ＨＥＬＬＯ  ｗｏｒｌｄ\n", env=env,
+                       capture_output=True, text=True)
+    assert r.returncode == 0
+    assert r.stdout == "HELLO world\n"
+    # tsv flag
+    tsv = tmp_path / "r.tsv"
+    tsv.write_text("0041\t0062\n")        # A -> b
+    r2 = subprocess.run([cli, "normalize",
+                         f"--normalization_rule_tsv={tsv}"],
+                        input="CAT\n", capture_output=True, text=True)
+    assert r2.stdout == "CbT\n"
+    # train with named rules, then normalize via the model itself
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the cat\n" * 10)
+    prefix = tmp_path / "m"
+    r3 = subprocess.run([cli, "train", f"--input={corpus}",
+                         f"--model_prefix={prefix}", "--vocab_size=32",
+                         "--model_type=unigram",
+                         "--normalization_rule_name=nmt_nfkc"],
+                        env=env, capture_output=True, text=True)
+    assert r3.returncode == 0, r3.stderr
+    r4 = subprocess.run([cli, "normalize", f"--model={prefix}.model"],
+                        input="ＡＢＣ\n", capture_output=True, text=True)
+    assert r4.stdout == "ABC\n"
