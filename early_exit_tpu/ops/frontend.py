@@ -77,31 +77,47 @@ def frame_count(n_samples: int, hop_length: int) -> int:
 
 
 def _windowed_dft(n_fft: int, win_length: int):
-    """Real-DFT basis with the Hann window folded in: (n_fft, n_fft//2+1)
-    cosine and sine matrices. On TPU an explicit DFT matmul runs on the
-    MXU and is ~6x faster than XLA's FFT lowering for these sizes.
+    """Real-DFT basis with the Hann window folded in, cropped to the
+    window's support: (win_length, n_fft//2+1) cosine and sine matrices.
+
+    The window is zero outside its centred win_length-wide span, so the
+    full (n_fft, F) basis would spend ~(1 - win/n_fft) of the matmul
+    multiplying structural zeros (69% at the reference's 320-in-1024
+    configuration); cropping the basis rows to the support — with the
+    row phase offset to the window's position — is exactly equivalent.
+    On TPU this DFT matmul runs on the MXU and beats XLA's FFT lowering
+    by a wide margin.
 
     Built INSIDE the traced graph from iota (a few MB of host constants
     would otherwise be embedded as HLO literals, which the remote TPU
     compiler handles pathologically slowly). The angle is reduced mod
     n_fft in exact integer arithmetic before the float conversion, so
     large n*k products lose no precision."""
-    n = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_fft // 2 + 1), 0)
-    k = jax.lax.broadcasted_iota(jnp.int32, (n_fft, n_fft // 2 + 1), 1)
-    phase = (n * k) % n_fft                      # exact int32
+    left = (n_fft - win_length) // 2
+    j = jax.lax.broadcasted_iota(jnp.int32, (win_length, n_fft // 2 + 1), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (win_length, n_fft // 2 + 1), 1)
+    phase = ((j + left) * k) % n_fft             # exact int32
     ang = (-2.0 * math.pi / n_fft) * phase.astype(jnp.float32)
-    w = jnp.asarray(hann_window(win_length, n_fft))[:, None]  # small const
+    n = np.arange(win_length)
+    w = 0.5 * (1.0 - np.cos(2.0 * math.pi * n / win_length))  # periodic Hann
+    w = jnp.asarray(w.astype(np.float32))[:, None]
     return jnp.cos(ang) * w, jnp.sin(ang) * w
 
 
-def _frames(wav: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+def _frames(wav: jax.Array, n_fft: int, hop_length: int,
+            width: Optional[int] = None) -> jax.Array:
+    """Centred STFT frames. width (default n_fft) crops each frame to the
+    centred width-wide span (the window's support for the DFT path)."""
     B, N = wav.shape
     pad = n_fft // 2
     x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = frame_count(N, hop_length)
-    idx = (jnp.arange(n_frames)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :])
-    return x[:, idx]                                   # (B, T, n_fft)
+    if width is None:
+        width = n_fft
+    offset = (n_fft - width) // 2
+    idx = (jnp.arange(n_frames)[:, None] * hop_length + offset
+           + jnp.arange(width)[None, :])
+    return x[:, idx]                                   # (B, T, width)
 
 
 def spectrogram(wav: jax.Array, *, n_fft: int, win_length: int,
@@ -112,11 +128,14 @@ def spectrogram(wav: jax.Array, *, n_fft: int, win_length: int,
     two MXU matmuls — ~25%% faster at runtime on TPU v5e, but the axon
     remote compiler takes minutes on the DFT graph, so FFT stays the
     default until compiles are cached."""
-    frames = _frames(wav, n_fft, hop_length)
     if method == "fft":
+        frames = _frames(wav, n_fft, hop_length)
         frames = frames * hann_window(win_length, n_fft)
         spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
         return (spec.real ** 2 + spec.imag ** 2)
+    # DFT path: frames cropped to the window support (exactly equivalent,
+    # ~n_fft/win_length fewer FLOPs and bytes than the full-width matmul)
+    frames = _frames(wav, n_fft, hop_length, width=win_length)
     cos, sin = _windowed_dft(n_fft, win_length)
     re = jnp.einsum("btn,nk->btk", frames, cos,
                     preferred_element_type=jnp.float32)
