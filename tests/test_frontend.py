@@ -32,13 +32,21 @@ def test_spectrogram_matches_torch_stft():
                                rtol=1e-3)
 
 
-def test_dft_path_matches_fft_path():
-    """The MXU DFT-matmul spectrogram equals the XLA FFT one."""
+@pytest.mark.parametrize("n_fft,win", [
+    (1024, 320),    # reference config: window-support crop drops 69%
+    (512, 400),     # odd offset (left = 56)
+    (256, 256),     # window == frame (no crop)
+    (1024, 1),      # degenerate single-sample window
+])
+def test_dft_path_matches_fft_path(n_fft, win):
+    """The MXU DFT-matmul spectrogram (frames and basis cropped to the
+    Hann window's support) equals the XLA FFT one at every window/FFT
+    geometry, including odd crop offsets."""
     rng = np.random.RandomState(3)
-    wav = jnp.asarray((0.1 * rng.randn(2, 8000)).astype(np.float32))
-    a = frontend.spectrogram(wav, n_fft=1024, win_length=320,
+    wav = jnp.asarray((0.1 * rng.randn(2, 4000)).astype(np.float32))
+    a = frontend.spectrogram(wav, n_fft=n_fft, win_length=win,
                              hop_length=160, method="dft")
-    b = frontend.spectrogram(wav, n_fft=1024, win_length=320,
+    b = frontend.spectrogram(wav, n_fft=n_fft, win_length=win,
                              hop_length=160, method="fft")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
                                rtol=1e-3)
