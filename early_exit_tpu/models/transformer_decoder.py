@@ -46,10 +46,14 @@ def stack_init(key: jax.Array, d_model: int, d_ff: int, n_layers: int):
 
 def layer_apply(p, x, memory, n_heads, *, tgt_pad_mask=None,
                 memory_mask=None, dropout_rate=0.0, rng=None, train=False,
-                compute_dtype=None):
+                compute_dtype=None, causal=True):
     """x: (B, L, D) target; memory: (B, T, D) encoder output.
 
     tgt_pad_mask: (B, L) True where the target position is VALID.
+    causal: lower-triangular self-attention (the AED training/decode
+      default); False matches the reference's hand-rolled Decoder called
+      with trg_mask=None (models/model/decoder.py:30-35, whose masked
+      path is the -1e-9 no-op quirk).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -57,7 +61,7 @@ def layer_apply(p, x, memory, n_heads, *, tgt_pad_mask=None,
 
     y = nn.layer_norm(p["ln1"], x)
     y = nn.mha(p["self_attn"], y, y, n_heads, key_mask=tgt_pad_mask,
-               causal=True, compute_dtype=compute_dtype)
+               causal=causal, compute_dtype=compute_dtype)
     if train:
         y = nn.dropout(y, dropout_rate, r1, train=True)
     x = x + y
@@ -81,7 +85,7 @@ def layer_apply(p, x, memory, n_heads, *, tgt_pad_mask=None,
 
 def stack_apply(params, x, memory, n_heads, final_ln, *, tgt_pad_mask=None,
                 memory_mask=None, dropout_rate=0.0, rng=None, train=False,
-                compute_dtype=None):
+                compute_dtype=None, causal=True):
     """Scan the stacked decoder layers; apply the shared final LayerNorm."""
     n_layers = jax.tree_util.tree_leaves(params)[0].shape[0]
     if rng is None:
@@ -92,7 +96,8 @@ def stack_apply(params, x, memory, n_heads, final_ln, *, tgt_pad_mask=None,
         p, r = xs
         h = layer_apply(p, h, memory, n_heads, tgt_pad_mask=tgt_pad_mask,
                         memory_mask=memory_mask, dropout_rate=dropout_rate,
-                        rng=r, train=train, compute_dtype=compute_dtype)
+                        rng=r, train=train, compute_dtype=compute_dtype,
+                        causal=causal)
         return h, None
 
     x, _ = lax.scan(body, x, (params, rngs))

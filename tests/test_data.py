@@ -115,3 +115,38 @@ def test_pipeline_trains_end_to_end():
             last = loss
     assert np.isfinite(last)
     assert last < first
+
+
+def test_pipeline_int16_wire_is_lossless_for_16bit_sources():
+    """The pipeline ships waveforms as int16 (pipeline._make_subbatch) and
+    rescales on device. For a waveform already quantised to 16-bit levels
+    (every real FLAC source), the mel features must match the fp32 path
+    bit-for-bit-close; for arbitrary floats the error stays at the -96 dB
+    quantisation floor."""
+    import jax.numpy as jnp
+
+    from early_exit_tpu.ops import frontend
+
+    ds = librispeech.SyntheticDataset(n_items=4, seed=1)
+    tok = CharTokenizer()
+    acfg = AudioConfig()
+    tcfg = TrainConfig(batch_size=4, n_batch_split=1)
+    pipe = pipeline.Pipeline(ds, tok, acfg, tcfg, bpe=False, shuffle=False)
+
+    items = [pipe._load_item(i) for i in range(4)]
+    # quantise the sources to 16-bit levels, as FLAC decode would yield
+    items = [(np.round(np.clip(w, -1, 1) * 32768.0).clip(-32768, 32767)
+              / 32768.0, ids, lab) for w, ids, lab in items]
+    batch = pipe._make_subbatch(items)
+
+    # fp32 oracle: pad identically, run the same mel
+    samples_b = batch["feats"].shape[1]  # frames
+    samples_b = (samples_b - 1) * acfg.hop_length
+    wav = np.zeros((len(items), samples_b), np.float32)
+    for j, (w, _, _) in enumerate(items):
+        w = w[:samples_b]
+        wav[j, : len(w)] = w
+    ref = frontend.mel_spectrogram(jnp.asarray(wav), acfg)
+
+    got = np.asarray(batch["feats"], np.float32)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
