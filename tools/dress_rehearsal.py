@@ -76,6 +76,12 @@ def main():
                          "the rehearsal off the shared TPU)")
     ap.add_argument("--decode", default="lexicon_beam",
                     choices=["greedy", "prefix_beam", "lexicon_beam"])
+    ap.add_argument("--legs", default="ctc",
+                    help="comma list of extra end-to-end legs after the "
+                         "CTC one: lm (train an ARPA from the corpus "
+                         "transcripts + shallow-fusion decode), gated "
+                         "(confidence-gated dynamic early exit), aed "
+                         "(full_conformer joint CE+CTC train + AED beam)")
     ap.add_argument("--fast", action="store_true",
                     help="CI-sized: tiny corpus, 2 epochs, greedy checks")
     args = ap.parse_args()
@@ -128,12 +134,93 @@ def main():
     if n_utts != args.n_test:
         sys.exit(f"decoded {n_utts}/{args.n_test} test utterances")
 
-    print(json.dumps({
+    summary = {
         "corpus": corpus, "epochs": args.epochs,
         "loss_first": losses[0] if losses else None,
         "loss_last": losses[-1] if losses else None,
         "decode": args.decode, "test_utts": n_utts, "wer_pct": wers,
-    }))
+    }
+    legs = [l.strip() for l in args.legs.split(",") if l.strip()
+            and l.strip() != "ctc"]
+    ckpt = os.path.join(moddir, ckpts[-1])
+    infer_base = [sys.executable, os.path.join(REPO, "inference.py"),
+                  "--decoder_mode", "ctc", "--data_root", corpus,
+                  "--eval_splits", "test-clean", "--load_model_path", ckpt,
+                  "--batch_size", "8", "--n_batch_split", "1",
+                  "--n_workers", "2",
+                  "--log_dir", os.path.join(work, "runs"), *tiny]
+
+    if "lm" in legs:
+        # train an ARPA from the TRAIN transcripts, decode with fusion —
+        # the reference's KenLM flow (util/beam_infer.py:77-78), entirely
+        # in-framework (tools/train_arpa.py + csrc/beam/arpa_lm.cc)
+        text = os.path.join(work, "train_text.txt")
+        with open(text, "w", encoding="utf-8") as f:
+            root = os.path.join(corpus, "LibriSpeech", "train-clean-100")
+            for dirpath, _, files in os.walk(root):
+                for fn in sorted(files):
+                    if fn.endswith(".trans.txt"):
+                        with open(os.path.join(dirpath, fn),
+                                  encoding="utf-8") as t:
+                            for line in t:
+                                _, _, words = line.partition(" ")
+                                f.write(words.strip().lower() + "\n")
+        arpa = os.path.join(work, "lm.arpa")
+        run([sys.executable, os.path.join(REPO, "tools", "train_arpa.py"),
+             "--text", text, "--out", arpa, "--order", "2"], env)
+        lm_out = run(infer_base + ["--decode", "lexicon_beam",
+                                   "--beam_size", "4",
+                                   "--lm_path", arpa, "--lm_weight", "0.5"],
+                     env)
+        lm_wers = {f"exit{m[0]}": float(m[1]) for m in re.findall(
+            r"test-clean WER exit (\d+): ([0-9.]+)%", lm_out)}
+        if not lm_wers:
+            sys.exit("lm leg: no WER lines")
+        if "shallow fusion" not in lm_out:
+            sys.exit("lm leg: fusion not engaged")
+        summary["lm_wer_pct"] = lm_wers
+
+    if "gated" in legs:
+        g_out = run(infer_base + ["--decode", args.decode,
+                                  "--beam_size", "4",
+                                  "--exit_threshold", "0.7"], env)
+        m = re.search(r"gated WER: ([0-9.]+)% \(mean exits run ([0-9.]+)",
+                      g_out)
+        if not m:
+            sys.exit("gated leg: no gated WER line")
+        summary["gated_wer_pct"] = float(m.group(1))
+        summary["gated_mean_exits"] = float(m.group(2))
+
+    if "aed" in legs:
+        aed_moddir = os.path.join(work, "model_aed")
+        aed_out = run([sys.executable, os.path.join(REPO, "train.py"),
+                       "--decoder_mode", "aed", "--data_root", corpus,
+                       "--n_epochs", str(max(2, args.epochs // 2)),
+                       "--batch_size", "8", "--n_batch_split", "1",
+                       "--save_model_dir", aed_moddir, "--n_workers", "2",
+                       "--log_dir", os.path.join(work, "runs"), *tiny], env)
+        aed_losses = [float(m) for m in re.findall(
+            r"LOSS_TOTAL-\d+ := ([0-9.]+)", aed_out)]
+        aed_ckpts = sorted(f for f in os.listdir(aed_moddir)
+                           if f.startswith("mod") and
+                           f.endswith("-transformer"))
+        aed_inf = run([sys.executable, os.path.join(REPO, "inference.py"),
+                       "--decoder_mode", "aed", "--data_root", corpus,
+                       "--eval_splits", "test-clean",
+                       "--load_model_path",
+                       os.path.join(aed_moddir, aed_ckpts[-1]),
+                       "--beam_size", "4", "--batch_size", "8",
+                       "--n_batch_split", "1", "--n_workers", "2",
+                       "--log_dir", os.path.join(work, "runs"), *tiny], env)
+        aed_wers = {f"exit{m[0]}": float(m[1]) for m in re.findall(
+            r"test-clean WER exit (\d+): ([0-9.]+)%", aed_inf)}
+        if not aed_wers:
+            sys.exit("aed leg: no WER lines")
+        summary["aed_loss_first"] = aed_losses[0] if aed_losses else None
+        summary["aed_loss_last"] = aed_losses[-1] if aed_losses else None
+        summary["aed_wer_pct"] = aed_wers
+
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
