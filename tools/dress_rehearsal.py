@@ -84,6 +84,10 @@ def main():
                          "(full_conformer joint CE+CTC train + AED beam)")
     ap.add_argument("--fast", action="store_true",
                     help="CI-sized: tiny corpus, 2 epochs, greedy checks")
+    ap.add_argument("--d_model", type=int, default=64)
+    ap.add_argument("--n_exits", type=int, default=2)
+    ap.add_argument("--n_layers", type=int, default=1,
+                    help="encoder layers per exit")
     args = ap.parse_args()
     if args.fast:
         args.epochs = min(args.epochs, 2)
@@ -99,9 +103,12 @@ def main():
     make_corpus(corpus, "test-clean", args.n_test, seed=2)
 
     env = dict(os.environ, EET_PLATFORM=args.platform)
-    tiny = ["--d_model", "64", "--n_enc_exits", "2",
-            "--n_enc_layers_per_exit", "1", "--n_heads", "4",
-            "--d_feed_forward", "128", "--depthwise_kernel_size", "7",
+    tiny = ["--d_model", str(args.d_model),
+            "--n_enc_exits", str(args.n_exits),
+            "--n_enc_layers_per_exit", str(args.n_layers),
+            "--n_heads", "4",
+            "--d_feed_forward", str(2 * args.d_model),
+            "--depthwise_kernel_size", "7",
             "--compute_dtype", "float32"]
     train_out = run([sys.executable, os.path.join(REPO, "train.py"),
                      "--decoder_mode", "ctc", "--data_root", corpus,
