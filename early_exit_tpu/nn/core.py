@@ -366,10 +366,17 @@ def mha(p: Param, q_in: jax.Array, kv_in: jax.Array, n_heads: int, *,
 def sinusoidal_pe(max_len: int, d_model: int) -> jax.Array:
     """(max_len, d_model) sinusoidal table — parity with the reference
     PositionalEncoding (models/embedding/positional_encoding.py:55-73)."""
-    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    return sinusoidal_pe_at(jnp.arange(max_len), d_model)
+
+
+def sinusoidal_pe_at(positions: jax.Array, d_model: int) -> jax.Array:
+    """Sinusoidal encodings at arbitrary (possibly traced) positions —
+    (len(positions), d_model). Used by streaming windows to place a
+    window at its GLOBAL stream offset (serving/streaming.py)."""
+    pos = positions.astype(jnp.float32)[:, None]
     div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
                   * (-math.log(10000.0) / d_model))
-    pe = jnp.zeros((max_len, d_model), jnp.float32)
+    pe = jnp.zeros((pos.shape[0], d_model), jnp.float32)
     pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
     pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
     return pe

@@ -1,0 +1,1 @@
+from early_exit_tpu.serving.streaming import StreamingRecognizer  # noqa: F401

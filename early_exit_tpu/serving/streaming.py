@@ -1,0 +1,222 @@
+"""Streaming (chunked) inference for production serving.
+
+Beyond-reference capability: the reference decodes whole utterances only
+(inference.py:18-233). Here audio is fed incrementally and transcripts
+are emitted per chunk with bounded latency, using the SAME trained
+early-exit Conformer checkpoints:
+
+- the signal is processed in fixed windows  [left ctx | chunk | right ctx]
+  (sizes in subsampled frames; one jitted program, static shapes);
+- the ×4 conv subsampling is exactly local, so with the window aligned to
+  a multiple of 4 mel frames every chunk-region subsampled frame has the
+  SAME receptive field as in the full-utterance forward — the only
+  approximation is attention truncated to the window (controlled by
+  `left_s`/`right_s`);
+- positional encodings use GLOBAL stream positions (nn.sinusoidal_pe_at),
+  so window placement matches full-utterance PE;
+- greedy CTC decoding carries the last emitted token across chunk
+  boundaries so repeats collapse correctly at the seam.
+
+Latency per emitted word ≈ chunk_s + right_s + model time. With
+chunk == whole utterance and no context the output is bit-identical to
+the batch inference path (pinned by tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from early_exit_tpu.configs import AudioConfig, ModelConfig
+from early_exit_tpu.models import conformer, subsampling
+from early_exit_tpu.models.early_conformer import _conformer_cfg
+from early_exit_tpu.nn import core as nn
+from early_exit_tpu.ops import frontend
+
+
+def _sub_frames_for_mel(w: int) -> int:
+    """Subsampled frames produced by W mel frames (two VALID k=3 s=2)."""
+    return ((w - 3) // 2 + 1 - 3) // 2 + 1
+
+
+# One compiled window program per (config, geometry) — recognizers are
+# cheap per-stream objects and must share compilations (a serving process
+# creates one per connection).
+_WINDOW_CACHE: dict = {}
+
+
+def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
+               blank: int):
+    key = (repr(mcfg), repr(acfg), Ls, Cs, blank)
+    if key in _WINDOW_CACHE:
+        return _WINDOW_CACHE[key]
+    ccfg = _conformer_cfg(mcfg)
+
+    @jax.jit
+    def window_forward(sub_params, block_params, block_state, head,
+                       wav_win, pos0, n_valid_sub):
+        """wav_win (1, win_samples); pos0: global sub index of the
+        window's first sub frame; n_valid_sub: valid sub frames in the
+        window. Returns the chunk region's best-path ids (Cs,)."""
+        feats = frontend.mel_spectrogram(wav_win, acfg)       # (1, W, M)
+        x = subsampling.conv_subsample_apply(
+            sub_params, feats, compute_dtype=mcfg.dtype)      # (1, K, D)
+        k = x.shape[1]
+        pos = pos0 + jnp.arange(k)
+        x = x.astype(jnp.float32) + nn.sinusoidal_pe_at(
+            pos, mcfg.d_model)[None]
+        mask = (jnp.arange(k) < n_valid_sub)[None, :]
+        x = jnp.where(mask[..., None], x, 0.0).astype(mcfg.rdtype)
+        h, _ = conformer.stack_apply(block_params, block_state, x,
+                                     mask, ccfg, train=False)
+        logits = nn.linear(head, h, compute_dtype=mcfg.dtype)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        best = jnp.argmax(logp[0], axis=-1)                   # (K,)
+        valid = jnp.arange(k) < n_valid_sub
+        best = jnp.where(valid, best, blank)
+        return best[Ls:Ls + Cs]
+
+    _WINDOW_CACHE[key] = window_forward
+    return window_forward
+
+
+class StreamingRecognizer:
+    """Incremental recognizer over one audio stream.
+
+    Args:
+      params/state/model_cfg: a trained early_conformer checkpoint.
+      audio_cfg: frontend config (16 kHz LibriSpeech default).
+      tokenizer: optional — with one, `accept_waveform` returns text;
+        without, token id lists.
+      chunk_s: emission granularity (seconds of audio per chunk).
+      left_s/right_s: attention context kept around each chunk. right_s
+        adds lookahead latency; left_s only memory/compute.
+      n_exit: which exit decodes the stream (1-based; default deepest) —
+        pick a lower exit for cheaper incremental decoding.
+    """
+
+    def __init__(self, params, state, model_cfg: ModelConfig,
+                 audio_cfg: Optional[AudioConfig] = None, tokenizer=None, *,
+                 chunk_s: float = 1.0, left_s: float = 2.0,
+                 right_s: float = 0.32, n_exit: Optional[int] = None,
+                 blank: int = 0):
+        self.acfg = audio_cfg or AudioConfig()
+        self.mcfg = model_cfg
+        self.tok = tokenizer
+        self.blank = blank
+        hop = self.acfg.hop_length
+        sub_s = 4 * hop / self.acfg.sample_rate     # seconds per sub frame
+        self.Cs = max(int(round(chunk_s / sub_s)), 1)
+        self.Ls = max(int(round(left_s / sub_s)), 0)
+        self.Rs = max(int(round(right_s / sub_s)), 0)
+        K = self.Ls + self.Cs + self.Rs
+        self.W = 4 * K + 5                          # window mel frames
+        self.win_samples = (self.W - 1) * hop
+        self.n_exit = n_exit or model_cfg.n_enc_exits
+
+        n_layers = self.n_exit * model_cfg.n_enc_layers_per_exit
+        sl = slice(0, n_layers)
+        self._block_params = jax.tree_util.tree_map(lambda a: a[sl],
+                                                    params["blocks"])
+        self._block_state = jax.tree_util.tree_map(lambda a: a[sl],
+                                                   state["blocks"])
+        self._head = jax.tree_util.tree_map(lambda a: a[self.n_exit - 1],
+                                            params["heads"])
+        self._sub_params = params["subsample"]
+        self._window_forward = _window_fn(model_cfg, self.acfg, self.Ls,
+                                          self.Cs, blank)
+        self._buf: List[np.ndarray] = []
+        self._n_samples = 0
+        self._next_chunk = 0          # next chunk index (in chunks)
+        self._last_token = -1         # carry across chunk seams
+        self._ids: List[int] = []
+        self._finished = False
+
+    # -- internals ---------------------------------------------------------
+
+    def _window_bounds(self, g: int):
+        """Sample range of the window for chunk g (may exceed stream)."""
+        a_mel = 4 * (g * self.Cs - self.Ls)       # window start, mel frames
+        s0 = a_mel * self.acfg.hop_length
+        return s0, s0 + self.win_samples
+
+    def _have(self) -> np.ndarray:
+        if len(self._buf) > 1:
+            self._buf = [np.concatenate(self._buf)]
+        return self._buf[0] if self._buf else np.zeros((0,), np.float32)
+
+    def _total_sub_frames(self) -> int:
+        mel = 1 + self._n_samples // self.acfg.hop_length
+        return max(_sub_frames_for_mel(mel), 0)
+
+    def _run_chunk(self, g: int, n_valid_sub: int):
+        s0, s1 = self._window_bounds(g)
+        wav = self._have()
+        seg = wav[max(s0, 0):min(s1, len(wav))]
+        left_pad = max(-s0, 0)
+        right_pad = self.win_samples - left_pad - len(seg)
+        seg = np.pad(seg.astype(np.float32), (left_pad, max(right_pad, 0)))
+        pos0 = g * self.Cs - self.Ls
+        best = np.asarray(self._window_forward(
+            self._sub_params, self._block_params, self._block_state,
+            self._head, jnp.asarray(seg[None]), jnp.int32(pos0),
+            jnp.int32(n_valid_sub)))
+        out = []
+        for t in best:
+            t = int(t)
+            if t != self.blank and t != self._last_token:
+                out.append(t)
+            self._last_token = t
+        self._ids.extend(out)
+        return out
+
+    def _emit(self, ids: List[int]):
+        if self.tok is None:
+            return ids
+        return self.tok.decode(ids)
+
+    # -- public API --------------------------------------------------------
+
+    def accept_waveform(self, samples) -> "str | List[int]":
+        """Feed more audio; returns newly finalized text (or token ids)."""
+        assert not self._finished, "stream already finished"
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buf.append(samples)
+        self._n_samples += len(samples)
+        new: List[int] = []
+        # a chunk is ready once every sample its window needs has arrived
+        while True:
+            _, s1 = self._window_bounds(self._next_chunk)
+            if s1 > self._n_samples:
+                break
+            # mid-stream: the whole window is valid context
+            new += self._run_chunk(self._next_chunk,
+                                   self.Ls + self.Cs + self.Rs)
+            self._next_chunk += 1
+        return self._emit(new)
+
+    def finish(self) -> "str | List[int]":
+        """Flush: decode the remaining tail with zero-padded lookahead."""
+        assert not self._finished, "stream already finished"
+        self._finished = True
+        total = self._total_sub_frames()
+        new: List[int] = []
+        while self._next_chunk * self.Cs < total:
+            g = self._next_chunk
+            # valid sub frames inside this window
+            n_valid = min(total - (g * self.Cs - self.Ls),
+                          self.Ls + self.Cs + self.Rs)
+            new += self._run_chunk(g, n_valid)
+            self._next_chunk += 1
+        return self._emit(new)
+
+    @property
+    def ids(self) -> List[int]:
+        return list(self._ids)
+
+    @property
+    def transcript(self):
+        return self._emit(self._ids)

