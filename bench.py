@@ -44,7 +44,7 @@ def main():
     cfg = ModelConfig(attn_softmax_dtype="bfloat16", fused_block=True)
     params, state = early_conformer.init(jax.random.PRNGKey(0), cfg)
 
-    B, SECONDS = 64, 10.0
+    B, SECONDS = 128, 10.0
     N = int(SECONDS * acfg.sample_rate)
     rng = np.random.RandomState(0)
     wav = jnp.asarray((0.1 * rng.randn(B, N)).astype(np.float32))
@@ -89,7 +89,7 @@ def main():
     print(json.dumps({
         "metric": "early_conformer_infer_rtf_x",
         "value": round(rtf_x, 2),
-        "unit": ("audio_sec/wall_sec (b64, 10s utts, all 6 exits + greedy); "
+        "unit": ("audio_sec/wall_sec (b128, 10s utts, all 6 exits + greedy); "
                  "vs_baseline = x the A100-40%MFU estimate (75000x RT)"),
         "vs_baseline": round(rtf_x / A100_ANCHOR_RTF, 3),
     }))

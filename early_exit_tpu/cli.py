@@ -185,6 +185,14 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Log-mel frontend: XLA rFFT or real-DFT matmuls; "
                         "auto = fft for training, dft for inference "
                         "(faster on the MXU).")
+    p.add_argument("--dynamic_chunk_training", type=_bool, default=False,
+                   help="Sample a chunked self-attention mask per step "
+                        "(50%% full attention) so one model serves both "
+                        "whole-utterance and streaming inference "
+                        "(early_conformer CTC mode).")
+    p.add_argument("--chunk_left_context", type=int, default=1000,
+                   help="Chunks of left context kept in dynamic-chunk "
+                        "training (1000 = effectively unlimited).")
     return p
 
 
@@ -280,6 +288,8 @@ def get_args(argv=None, mode: str = "train"):
         fast_rng=args.fast_rng,
         distill=args.distill, distill_weight=args.distill_weight,
         distill_temperature=args.distill_temperature,
+        dynamic_chunk=args.dynamic_chunk_training,
+        chunk_left=args.chunk_left_context,
         seed=args.seed)
     audio_cfg = AudioConfig(
         sample_rate=args.sample_rate, n_fft=args.n_fft,

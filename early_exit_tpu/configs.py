@@ -83,6 +83,12 @@ class TrainConfig:
     distill: bool = False
     distill_weight: float = 1.0
     distill_temperature: float = 2.0
+    # dynamic-chunk streaming training (WeNet U2-style): each step
+    # samples a chunked self-attention mask (or full attention, 50%),
+    # so one model serves both whole-utterance and streaming inference
+    # (serving/streaming.py). early_conformer CTC mode only.
+    dynamic_chunk: bool = False
+    chunk_left: int = 1000    # chunks of left context kept (1000 ≈ all)
     seed: int = 0
 
 

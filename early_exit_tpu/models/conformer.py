@@ -163,8 +163,13 @@ def _conv_module(p, bn_state, x, mask, cfg: ConformerConfig, rng, train):
 
 
 def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
-                rng: Optional[jax.Array] = None, train: bool = False):
+                rng: Optional[jax.Array] = None, train: bool = False,
+                attn_mask: Optional[jax.Array] = None):
     """One Conformer block on (B, T, D). mask: (B, T) bool validity.
+
+    attn_mask: optional (T, T) bool — True where q may attend to k
+    (dynamic-chunk streaming training; the conv module stays local and
+    needs no masking beyond validity).
 
     Returns (y, new_state)."""
     if rng is None:
@@ -178,12 +183,13 @@ def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
     x = x + 0.5 * _ffn(params["ffn1"], x, cfg, r_ffn1, train).astype(rd)
 
     y = nn.layer_norm(params["attn"]["ln"], x)
-    if cfg.attention_impl == "pallas":
+    if cfg.attention_impl == "pallas" and attn_mask is None:
         from early_exit_tpu.ops.pallas import attention as pattn
         y = pattn.mha_pallas(params["attn"]["mha"], y, cfg.n_heads,
                              key_mask=mask, compute_dtype=cfg.dtype)
     else:
         y = nn.mha(params["attn"]["mha"], y, y, cfg.n_heads, key_mask=mask,
+                   pair_mask=attn_mask,
                    compute_dtype=cfg.dtype, softmax_dtype=cfg.sm_dtype)
     if train:
         y = nn.dropout(y, cfg.dropout, r_attn, train=True)
@@ -202,14 +208,19 @@ def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
 
 def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
                 rng: Optional[jax.Array] = None, train: bool = False,
-                collect_outputs: bool = False):
+                collect_outputs: bool = False,
+                attn_mask: Optional[jax.Array] = None):
     """Run a stack of blocks whose params are leading-axis stacked, via
     `lax.scan` (compiles the block body once regardless of depth).
+
+    attn_mask: optional (T, T) bool pair mask applied in every block's
+    self-attention (dynamic-chunk training; forces the XLA path).
 
     Returns (y, new_state[, per_layer_outputs])."""
     # the fused kernel keeps per-item (Tp, Tp) scores + the whole block
     # resident in VMEM; beyond ~T=512 that no longer fits, fall back
-    if cfg.fused_block and not train and x.shape[1] <= 512:
+    if (cfg.fused_block and not train and x.shape[1] <= 512
+            and attn_mask is None):
         from early_exit_tpu.ops.pallas import conformer_block as fcb
         if mask is not None:
             lengths = jnp.sum(mask.astype(jnp.int32), axis=1)
@@ -229,7 +240,8 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
         # pass (jax.checkpoint) — the TPU-native answer to deep stacks
         block_fn = jax.checkpoint(
             lambda p, s, h, m, r: block_apply(p, s, h, m, cfg, rng=r,
-                                              train=train),
+                                              train=train,
+                                              attn_mask=attn_mask),
             static_argnums=())
         def body(carry, xs):   # noqa: F811
             h = carry
@@ -246,7 +258,8 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
     def body(carry, xs):
         h = carry
         p, s, r = xs
-        h, new_s = block_apply(p, s, h, mask, cfg, rng=r, train=train)
+        h, new_s = block_apply(p, s, h, mask, cfg, rng=r, train=train,
+                               attn_mask=attn_mask)
         out = h if collect_outputs else None
         return h, (new_s, out)
 

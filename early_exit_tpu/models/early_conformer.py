@@ -83,8 +83,12 @@ def apply_heads(heads, hidden, cfg: ModelConfig):
 
 
 def apply(params, state, feats, lengths, cfg: ModelConfig, *,
-          rng: Optional[jax.Array] = None, train: bool = False):
+          rng: Optional[jax.Array] = None, train: bool = False,
+          attn_mask: Optional[jax.Array] = None):
     """feats: (B, T, n_mels) log-mel; lengths: (B,) original frame counts.
+
+    attn_mask: optional (T', T') bool pair mask over subsampled frames
+    (dynamic-chunk streaming training, training/trainer.py).
 
     Returns (log_probs (n_exits, B, T', V), sub_lengths (B,), new_state).
     Matches the forward contract of early_exit.py:617-634 plus explicit
@@ -99,7 +103,8 @@ def apply(params, state, feats, lengths, cfg: ModelConfig, *,
     ccfg = _conformer_cfg(cfg)
     _, new_block_state, layer_outs = conformer.stack_apply(
         params["blocks"], state["blocks"], x, mask, ccfg,
-        rng=r_blocks, train=train, collect_outputs=True)
+        rng=r_blocks, train=train, collect_outputs=True,
+        attn_mask=attn_mask)
 
     # exit i reads the output of layer (i+1)*n_layers_per_exit - 1
     exit_idx = jnp.arange(1, cfg.n_enc_exits + 1) * cfg.n_enc_layers_per_exit - 1

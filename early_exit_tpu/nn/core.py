@@ -302,6 +302,7 @@ def mha(p: Param, q_in: jax.Array, kv_in: jax.Array, n_heads: int, *,
         key_mask: Optional[jax.Array] = None,
         causal: bool = False,
         attn_bias: Optional[jax.Array] = None,
+        pair_mask: Optional[jax.Array] = None,
         compute_dtype=None,
         softmax_dtype=jnp.float32) -> jax.Array:
     """Multi-head attention on (B, Tq, D) / (B, Tk, D).
@@ -310,6 +311,8 @@ def mha(p: Param, q_in: jax.Array, kv_in: jax.Array, n_heads: int, *,
     causal: apply a lower-triangular mask (decoder self-attention,
       early_exit.py:807-811 `create_tgt_mask` parity).
     attn_bias: optional additive (B|1, H|1, Tq, Tk) bias.
+    pair_mask: optional (Tq, Tk) or (B, Tq, Tk) bool — True where q may
+      attend to k (dynamic-chunk streaming training).
     softmax_dtype: dtype of the materialised score/probability tensors —
       the (B, H, Tq, Tk) buffers dominate attention HBM traffic, so
       bfloat16 here buys ~20% forward time at inference; keep float32
@@ -342,6 +345,9 @@ def mha(p: Param, q_in: jax.Array, kv_in: jax.Array, n_heads: int, *,
     if causal:
         cm = jnp.tril(jnp.ones((Tq, Tk), bool))
         scores = jnp.where(cm[None, None], scores, neg)
+    if pair_mask is not None:
+        pm = pair_mask if pair_mask.ndim == 3 else pair_mask[None]
+        scores = jnp.where(pm[:, None], scores, neg)
     if attn_bias is not None:
         scores = scores + attn_bias.astype(scores.dtype)
 

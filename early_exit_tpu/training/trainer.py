@@ -106,6 +106,30 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
     reference parity (CrossEntropyLoss() with default ignore_index).
     """
     aed = train_cfg.decoder_mode == "aed"
+    dynamic_chunk = (train_cfg.dynamic_chunk and not aed
+                     and model_cfg.model_type == "early_conformer")
+    # chunk sizes in subsampled frames (40 ms each): ~0.5/1/2/4 s
+    CHUNK_SIZES = (12, 25, 50, 100)
+
+    def _chunk_mask(t_sub: int, c: int) -> jnp.ndarray:
+        """(T', T') bool: q attends within its chunk (incl. in-chunk
+        lookahead) and up to chunk_left previous chunks — matching the
+        window geometry streaming inference uses."""
+        qc = jnp.arange(t_sub)[:, None] // c
+        kc = jnp.arange(t_sub)[None, :] // c
+        return (kc <= qc) & (qc - kc <= train_cfg.chunk_left)
+
+    def _sample_attn_mask(t_sub: int, rng):
+        """50% full attention, else a uniformly-drawn chunk size — the
+        standard dynamic-chunk recipe: one model, both serving modes."""
+        masks = jnp.stack([_chunk_mask(t_sub, c) for c in CHUNK_SIZES]
+                          + [jnp.ones((t_sub, t_sub), bool)])
+        r_full, r_size = jax.random.split(rng)
+        idx = jnp.where(jax.random.bernoulli(r_full, 0.5),
+                        len(CHUNK_SIZES),
+                        jax.random.randint(r_size, (), 0,
+                                           len(CHUNK_SIZES)))
+        return masks[idx]
 
     def _fast_key(rng):
         """Re-wrap the step key as an 'rbg' PRNG key: threefry mask
@@ -146,9 +170,15 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
             total = (train_cfg.aed_ce_weight * loss_ce
                      + train_cfg.aed_ctc_weight * loss_ctc)
             return total, (per_exit, new_state)
+        extra = {}
+        if dynamic_chunk:
+            t = batch["feats"].shape[1]
+            t_sub = ((t - 3) // 2 + 1 - 3) // 2 + 1   # two VALID k=3 s=2
+            rng, r_mask = jax.random.split(rng)
+            extra["attn_mask"] = _sample_attn_mask(t_sub, r_mask)
         log_probs, sub_len, new_state = model.apply(
             params, model_state, batch["feats"], batch["feat_lengths"],
-            model_cfg, rng=rng, train=True)
+            model_cfg, rng=rng, train=True, **extra)
         total, per_exit = ctc_multi_exit_loss(
             log_probs, sub_len, batch["labels"], batch["label_lengths"],
             blank=model_cfg.blank_id,
