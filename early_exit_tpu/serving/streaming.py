@@ -49,8 +49,8 @@ _WINDOW_CACHE: dict = {}
 
 
 def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
-               blank: int):
-    key = (repr(mcfg), repr(acfg), Ls, Cs, blank)
+               blank: int, causal_attention: bool):
+    key = (repr(mcfg), repr(acfg), Ls, Cs, blank, causal_attention)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
     ccfg = _conformer_cfg(mcfg)
@@ -70,8 +70,17 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
             pos, mcfg.d_model)[None]
         mask = (jnp.arange(k) < n_valid_sub)[None, :]
         x = jnp.where(mask[..., None], x, 0.0).astype(mcfg.rdtype)
+        attn_mask = None
+        if causal_attention:
+            # match the dynamic-chunk TRAINING pattern exactly: the
+            # chunk attends to [window start .. chunk end] only; the
+            # right-context audio still feeds the (local) convolutions,
+            # which training never masked (trainer._chunk_mask)
+            attn_mask = jnp.broadcast_to(
+                jnp.arange(k)[None, :] < Ls + Cs, (k, k))
         h, _ = conformer.stack_apply(block_params, block_state, x,
-                                     mask, ccfg, train=False)
+                                     mask, ccfg, train=False,
+                                     attn_mask=attn_mask)
         logits = nn.linear(head, h, compute_dtype=mcfg.dtype)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         best = jnp.argmax(logp[0], axis=-1)                   # (K,)
@@ -96,13 +105,17 @@ class StreamingRecognizer:
         adds lookahead latency; left_s only memory/compute.
       n_exit: which exit decodes the stream (1-based; default deepest) —
         pick a lower exit for cheaper incremental decoding.
+      causal_attention: restrict attention to [window start .. chunk end]
+        (right-context audio still feeds the convolutions) — matches the
+        --dynamic_chunk_training mask exactly; use with checkpoints
+        trained that way, left_s = chunk_left_context × chunk_s.
     """
 
     def __init__(self, params, state, model_cfg: ModelConfig,
                  audio_cfg: Optional[AudioConfig] = None, tokenizer=None, *,
                  chunk_s: float = 1.0, left_s: float = 2.0,
                  right_s: float = 0.32, n_exit: Optional[int] = None,
-                 blank: int = 0):
+                 blank: int = 0, causal_attention: bool = False):
         self.acfg = audio_cfg or AudioConfig()
         self.mcfg = model_cfg
         self.tok = tokenizer
@@ -127,8 +140,9 @@ class StreamingRecognizer:
                                             params["heads"])
         self._sub_params = params["subsample"]
         self._window_forward = _window_fn(model_cfg, self.acfg, self.Ls,
-                                          self.Cs, blank)
+                                          self.Cs, blank, causal_attention)
         self._buf: List[np.ndarray] = []
+        self._buf_offset = 0          # stream index of _buf[0][0]
         self._n_samples = 0
         self._next_chunk = 0          # next chunk index (in chunks)
         self._last_token = -1         # carry across chunk seams
@@ -148,6 +162,16 @@ class StreamingRecognizer:
             self._buf = [np.concatenate(self._buf)]
         return self._buf[0] if self._buf else np.zeros((0,), np.float32)
 
+    def _trim(self) -> None:
+        """Drop samples no future window can need — memory stays O(window)
+        regardless of stream length."""
+        keep_from, _ = self._window_bounds(self._next_chunk)
+        keep_from = max(keep_from, 0)
+        if keep_from > self._buf_offset:
+            wav = self._have()
+            self._buf = [wav[keep_from - self._buf_offset:]]
+            self._buf_offset = keep_from
+
     def _total_sub_frames(self) -> int:
         mel = 1 + self._n_samples // self.acfg.hop_length
         return max(_sub_frames_for_mel(mel), 0)
@@ -155,7 +179,9 @@ class StreamingRecognizer:
     def _run_chunk(self, g: int, n_valid_sub: int):
         s0, s1 = self._window_bounds(g)
         wav = self._have()
-        seg = wav[max(s0, 0):min(s1, len(wav))]
+        lo = max(s0, 0) - self._buf_offset
+        hi = min(s1 - self._buf_offset, len(wav))
+        seg = wav[lo:hi]
         left_pad = max(-s0, 0)
         right_pad = self.win_samples - left_pad - len(seg)
         seg = np.pad(seg.astype(np.float32), (left_pad, max(right_pad, 0)))
@@ -196,6 +222,7 @@ class StreamingRecognizer:
             new += self._run_chunk(self._next_chunk,
                                    self.Ls + self.Cs + self.Rs)
             self._next_chunk += 1
+            self._trim()
         return self._emit(new)
 
     def finish(self) -> "str | List[int]":

@@ -143,3 +143,33 @@ def test_streaming_with_context_approximates_full(model):
                           D[i - 1, j - 1] + (got[i - 1] != want[j - 1]))
     assert len(want) > 0
     assert D[-1, -1] / len(want) < 0.35, (got, want)
+
+
+def test_buffer_is_trimmed_on_long_streams(model):
+    """Memory stays O(window) regardless of stream length."""
+    params, state = model
+    rec = StreamingRecognizer(params, state, CFG, ACFG,
+                              chunk_s=0.5, left_s=0.5, right_s=0.2)
+    for seed in range(6):
+        rec.accept_waveform(_wav(2.0, seed=seed))
+    held = sum(len(b) for b in rec._buf)
+    assert held < 3 * rec.win_samples
+    assert rec._buf_offset > 0
+
+
+def test_causal_attention_mode_runs_and_differs(model):
+    """causal_attention=True (dynamic-chunk-trained checkpoints) masks
+    the right tail from attention while convs still see it."""
+    params, state = model
+    wav = _wav(3.0, seed=5)
+
+    def run(causal):
+        rec = StreamingRecognizer(params, state, CFG, ACFG,
+                                  chunk_s=0.5, left_s=1.0, right_s=0.5,
+                                  causal_attention=causal)
+        rec.accept_waveform(wav)
+        rec.finish()
+        return rec.ids
+
+    a, b = run(False), run(True)
+    assert a != b          # the mask is actually engaged

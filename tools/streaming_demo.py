@@ -45,7 +45,7 @@ def main(argv=None):
     from early_exit_tpu.utils import WerAccumulator
 
     extra = {"--chunk_s": 1.0, "--left_s": 2.0, "--right_s": 0.32,
-             "--n_exit": None}
+             "--n_exit": None, "--causal_attention": 0.0}
     argv = list(sys.argv[1:] if argv is None else argv)
     for k in list(extra):
         if k in argv:
@@ -90,7 +90,9 @@ def main(argv=None):
                                   chunk_s=extra["--chunk_s"],
                                   left_s=extra["--left_s"],
                                   right_s=extra["--right_s"],
-                                  n_exit=n_exit)
+                                  n_exit=n_exit,
+                                  causal_attention=bool(
+                                      extra["--causal_attention"]))
         # feed in chunk-sized pieces, timing each accept (compute only)
         step = max(int(extra["--chunk_s"] * utt.sample_rate), 1)
         text_parts = []
@@ -100,7 +102,9 @@ def main(argv=None):
                 rec.accept_waveform(utt.waveform[s0:s0 + step]))
             chunk_times.append(time.perf_counter() - t0)
         text_parts.append(rec.finish())
-        hyp_stream = "".join(text_parts).strip().lower()
+        # score the full id sequence decoded at once (joining per-chunk
+        # strings would lose subword word-boundary marks mid-word)
+        hyp_stream = rec.transcript.strip().lower()
 
         wav = jnp.asarray(np.asarray(utt.waveform, np.float32)[None])
         lengths = frontend.mel_lengths(jnp.asarray([len(utt.waveform)]),
@@ -124,6 +128,7 @@ def main(argv=None):
         "utts": n, "exit": n_exit,
         "chunk_s": extra["--chunk_s"], "left_s": extra["--left_s"],
         "right_s": extra["--right_s"],
+        "causal_attention": bool(extra["--causal_attention"]),
         "stream_wer_pct": round(100 * stream_wer.value, 2),
         "full_wer_pct": round(100 * full_wer.value, 2),
         "exact_transcript_agreement": f"{agree}/{n}",
