@@ -58,17 +58,18 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
     @jax.jit
     def window_forward(sub_params, block_params, block_state, head,
                        wav_win, pos0, n_valid_sub):
-        """wav_win (1, win_samples); pos0: global sub index of the
-        window's first sub frame; n_valid_sub: valid sub frames in the
-        window. Returns the chunk region's best-path ids (Cs,)."""
-        feats = frontend.mel_spectrogram(wav_win, acfg)       # (1, W, M)
+        """wav_win (S, win_samples) — one row per stream; pos0 (S,):
+        global sub index of each window's first sub frame; n_valid_sub
+        (S,): valid sub frames per window. Returns each chunk region's
+        best-path ids (S, Cs)."""
+        feats = frontend.mel_spectrogram(wav_win, acfg)       # (S, W, M)
         x = subsampling.conv_subsample_apply(
-            sub_params, feats, compute_dtype=mcfg.dtype)      # (1, K, D)
-        k = x.shape[1]
-        pos = pos0 + jnp.arange(k)
-        x = x.astype(jnp.float32) + nn.sinusoidal_pe_at(
-            pos, mcfg.d_model)[None]
-        mask = (jnp.arange(k) < n_valid_sub)[None, :]
+            sub_params, feats, compute_dtype=mcfg.dtype)      # (S, K, D)
+        s, k = x.shape[0], x.shape[1]
+        pos = pos0[:, None] + jnp.arange(k)[None, :]          # (S, K)
+        pe = nn.sinusoidal_pe_at(pos.reshape(-1), mcfg.d_model)
+        x = x.astype(jnp.float32) + pe.reshape(s, k, -1)
+        mask = jnp.arange(k)[None, :] < n_valid_sub[:, None]  # (S, K)
         x = jnp.where(mask[..., None], x, 0.0).astype(mcfg.rdtype)
         attn_mask = None
         if causal_attention:
@@ -83,10 +84,9 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
                                      attn_mask=attn_mask)
         logits = nn.linear(head, h, compute_dtype=mcfg.dtype)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        best = jnp.argmax(logp[0], axis=-1)                   # (K,)
-        valid = jnp.arange(k) < n_valid_sub
-        best = jnp.where(valid, best, blank)
-        return best[Ls:Ls + Cs]
+        best = jnp.argmax(logp, axis=-1)                      # (S, K)
+        best = jnp.where(mask, best, blank)
+        return best[:, Ls:Ls + Cs]
 
     _WINDOW_CACHE[key] = window_forward
     return window_forward
@@ -176,7 +176,8 @@ class StreamingRecognizer:
         mel = 1 + self._n_samples // self.acfg.hop_length
         return max(_sub_frames_for_mel(mel), 0)
 
-    def _run_chunk(self, g: int, n_valid_sub: int):
+    def _window_args(self, g: int):
+        """Host-side window assembly for chunk g: (seg, pos0)."""
         s0, s1 = self._window_bounds(g)
         wav = self._have()
         lo = max(s0, 0) - self._buf_offset
@@ -185,19 +186,29 @@ class StreamingRecognizer:
         left_pad = max(-s0, 0)
         right_pad = self.win_samples - left_pad - len(seg)
         seg = np.pad(seg.astype(np.float32), (left_pad, max(right_pad, 0)))
-        pos0 = g * self.Cs - self.Ls
-        best = np.asarray(self._window_forward(
-            self._sub_params, self._block_params, self._block_state,
-            self._head, jnp.asarray(seg[None]), jnp.int32(pos0),
-            jnp.int32(n_valid_sub)))
+        return seg, g * self.Cs - self.Ls
+
+    def _advance(self, best_row: np.ndarray) -> List[int]:
+        """Collapse one chunk's best-path ids across the seam; advance."""
         out = []
-        for t in best:
+        for t in best_row:
             t = int(t)
             if t != self.blank and t != self._last_token:
                 out.append(t)
             self._last_token = t
         self._ids.extend(out)
+        self._next_chunk += 1
+        self._trim()
         return out
+
+    def _run_chunk(self, g: int, n_valid_sub: int):
+        seg, pos0 = self._window_args(g)
+        best = np.asarray(self._window_forward(
+            self._sub_params, self._block_params, self._block_state,
+            self._head, jnp.asarray(seg[None]),
+            jnp.asarray([pos0], jnp.int32),
+            jnp.asarray([n_valid_sub], jnp.int32)))[0]
+        return self._advance(best)
 
     def _emit(self, ids: List[int]):
         if self.tok is None:
@@ -214,16 +225,15 @@ class StreamingRecognizer:
         self._n_samples += len(samples)
         new: List[int] = []
         # a chunk is ready once every sample its window needs has arrived
-        while True:
-            _, s1 = self._window_bounds(self._next_chunk)
-            if s1 > self._n_samples:
-                break
+        while self._chunk_ready():
             # mid-stream: the whole window is valid context
             new += self._run_chunk(self._next_chunk,
                                    self.Ls + self.Cs + self.Rs)
-            self._next_chunk += 1
-            self._trim()
         return self._emit(new)
+
+    def _chunk_ready(self) -> bool:
+        _, s1 = self._window_bounds(self._next_chunk)
+        return s1 <= self._n_samples
 
     def finish(self) -> "str | List[int]":
         """Flush: decode the remaining tail with zero-padded lookahead."""
@@ -237,7 +247,6 @@ class StreamingRecognizer:
             n_valid = min(total - (g * self.Cs - self.Ls),
                           self.Ls + self.Cs + self.Rs)
             new += self._run_chunk(g, n_valid)
-            self._next_chunk += 1
         return self._emit(new)
 
     @property
@@ -247,3 +256,70 @@ class StreamingRecognizer:
     @property
     def transcript(self):
         return self._emit(self._ids)
+
+
+class StreamPool:
+    """Fixed-capacity pool of independent audio streams decoded by ONE
+    batched window program per round — the production serving shape: a
+    server holds a pool per device, `feed`s audio as it arrives per
+    connection, and `poll`s to run every stream's ready chunk in a single
+    device dispatch (rows for idle streams are masked, not recompiled).
+
+    All streams share geometry/config/checkpoint. Results are identical
+    to per-stream StreamingRecognizers (pinned by tests)."""
+
+    def __init__(self, n_streams: int, params, state,
+                 model_cfg: ModelConfig,
+                 audio_cfg: Optional[AudioConfig] = None, tokenizer=None,
+                 **kwargs):
+        assert n_streams >= 1
+        self.recs = [StreamingRecognizer(params, state, model_cfg,
+                                         audio_cfg, tokenizer, **kwargs)
+                     for _ in range(n_streams)]
+        r0 = self.recs[0]
+        self._fwd = r0._window_forward
+        self._K = r0.Ls + r0.Cs + r0.Rs
+
+    def feed(self, stream_id: int, samples) -> None:
+        """Buffer audio for one stream (no compute until poll())."""
+        rec = self.recs[stream_id]
+        assert not rec._finished, "stream already finished"
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        rec._buf.append(samples)
+        rec._n_samples += len(samples)
+
+    def poll(self) -> dict:
+        """Run ready chunks, one batched dispatch per round, until no
+        stream has a complete window. Returns {stream_id: newly emitted
+        text-or-ids} for streams that produced output."""
+        r0 = self.recs[0]
+        emitted: dict = {}
+        while True:
+            ready = [i for i, rec in enumerate(self.recs)
+                     if not rec._finished and rec._chunk_ready()]
+            if not ready:
+                break
+            S = len(self.recs)
+            wav = np.zeros((S, r0.win_samples), np.float32)
+            pos0 = np.zeros((S,), np.int32)
+            n_valid = np.zeros((S,), np.int32)    # idle rows: all masked
+            for i in ready:
+                seg, p0 = self.recs[i]._window_args(
+                    self.recs[i]._next_chunk)
+                wav[i], pos0[i], n_valid[i] = seg, p0, self._K
+            best = np.asarray(self._fwd(
+                r0._sub_params, r0._block_params, r0._block_state,
+                r0._head, jnp.asarray(wav), jnp.asarray(pos0),
+                jnp.asarray(n_valid)))
+            for i in ready:
+                out = self.recs[i]._advance(best[i])
+                if out:
+                    emitted.setdefault(i, []).extend(out)
+        return {i: self.recs[i]._emit(ids) for i, ids in emitted.items()}
+
+    def finish(self, stream_id: int):
+        """Flush one stream's tail (single-row dispatch)."""
+        return self.recs[stream_id].finish()
+
+    def transcript(self, stream_id: int):
+        return self.recs[stream_id].transcript

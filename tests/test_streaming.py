@@ -173,3 +173,31 @@ def test_causal_attention_mode_runs_and_differs(model):
 
     a, b = run(False), run(True)
     assert a != b          # the mask is actually engaged
+
+
+def test_stream_pool_matches_independent_recognizers(model):
+    """One batched dispatch per round == S independent recognizers."""
+    from early_exit_tpu.serving import StreamPool
+
+    params, state = model
+    wavs = [_wav(2.0 + 0.7 * i, seed=10 + i) for i in range(3)]
+
+    solo = []
+    for w in wavs:
+        rec = StreamingRecognizer(params, state, CFG, ACFG,
+                                  chunk_s=0.5, left_s=1.0, right_s=0.2)
+        rec.accept_waveform(w)
+        rec.finish()
+        solo.append(rec.ids)
+
+    pool = StreamPool(3, params, state, CFG, ACFG,
+                      chunk_s=0.5, left_s=1.0, right_s=0.2)
+    # interleave feeding in uneven pieces, polling as audio arrives
+    pieces = [np.array_split(w, 5) for w in wavs]
+    for j in range(5):
+        for i in range(3):
+            pool.feed(i, pieces[i][j])
+        pool.poll()
+    for i in range(3):
+        pool.finish(i)
+    assert [pool.recs[i].ids for i in range(3)] == solo
