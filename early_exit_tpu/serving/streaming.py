@@ -42,6 +42,17 @@ def _sub_frames_for_mel(w: int) -> int:
     return ((w - 3) // 2 + 1 - 3) // 2 + 1
 
 
+def _slice_weights(params, state, mcfg: ModelConfig, n_exit: int):
+    """Device slices of the trunk up to `n_exit` + that exit's head."""
+    n_layers = n_exit * mcfg.n_enc_layers_per_exit
+    sl = slice(0, n_layers)
+    return (params["subsample"],
+            jax.tree_util.tree_map(lambda a: a[sl], params["blocks"]),
+            jax.tree_util.tree_map(lambda a: a[sl], state["blocks"]),
+            jax.tree_util.tree_map(lambda a: a[n_exit - 1],
+                                   params["heads"]))
+
+
 # One compiled window program per (config, geometry) — recognizers are
 # cheap per-stream objects and must share compilations (a serving process
 # creates one per connection).
@@ -54,31 +65,42 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
     ccfg = _conformer_cfg(mcfg)
+    mel_method = acfg.mel_method if acfg.mel_method in ("fft", "dft") \
+        else "fft"
 
     @jax.jit
     def window_forward(sub_params, block_params, block_state, head,
                        wav_win, pos0, n_valid_sub):
         """wav_win (S, win_samples) — one row per stream; pos0 (S,):
         global sub index of each window's first sub frame; n_valid_sub
-        (S,): valid sub frames per window. Returns each chunk region's
-        best-path ids (S, Cs)."""
-        feats = frontend.mel_spectrogram(wav_win, acfg)       # (S, W, M)
+        (S,): valid sub frames per window counted from the stream start
+        (frames at negative global positions — pre-stream padding of
+        early windows — are masked too, as training masks padding).
+        Returns each chunk region's best-path ids (S, Cs)."""
+        feats = frontend.mel_spectrogram(wav_win, acfg,
+                                         method=mel_method)   # (S, W, M)
         x = subsampling.conv_subsample_apply(
             sub_params, feats, compute_dtype=mcfg.dtype)      # (S, K, D)
         s, k = x.shape[0], x.shape[1]
         pos = pos0[:, None] + jnp.arange(k)[None, :]          # (S, K)
         pe = nn.sinusoidal_pe_at(pos.reshape(-1), mcfg.d_model)
         x = x.astype(jnp.float32) + pe.reshape(s, k, -1)
-        mask = jnp.arange(k)[None, :] < n_valid_sub[:, None]  # (S, K)
+        mask = (pos >= 0) & (jnp.arange(k)[None, :]
+                             < n_valid_sub[:, None])          # (S, K)
         x = jnp.where(mask[..., None], x, 0.0).astype(mcfg.rdtype)
         attn_mask = None
         if causal_attention:
-            # match the dynamic-chunk TRAINING pattern exactly: the
-            # chunk attends to [window start .. chunk end] only; the
-            # right-context audio still feeds the (local) convolutions,
-            # which training never masked (trainer._chunk_mask)
-            attn_mask = jnp.broadcast_to(
-                jnp.arange(k)[None, :] < Ls + Cs, (k, k))
+            # reproduce the dynamic-chunk TRAINING pattern
+            # (trainer.make_chunk_mask) inside the window using GLOBAL
+            # chunk ids: no frame ever attends a LATER chunk — including
+            # left-context rows, whose deeper-layer values feed the chunk
+            # region. Right-context audio still reaches the (local)
+            # convolutions, which training never masked.
+            # global chunk of window index i is g + (i - Ls)//Cs — the
+            # additive g cancels in comparisons, so one (K, K) mask
+            # serves every stream and window position
+            qc = (jnp.arange(k) - Ls) // Cs
+            attn_mask = qc[None, :] <= qc[:, None]
         h, _ = conformer.stack_apply(block_params, block_state, x,
                                      mask, ccfg, train=False,
                                      attn_mask=attn_mask)
@@ -105,21 +127,23 @@ class StreamingRecognizer:
         adds lookahead latency; left_s only memory/compute.
       n_exit: which exit decodes the stream (1-based; default deepest) —
         pick a lower exit for cheaper incremental decoding.
-      causal_attention: restrict attention to [window start .. chunk end]
-        (right-context audio still feeds the convolutions) — matches the
-        --dynamic_chunk_training mask exactly; use with checkpoints
-        trained that way, left_s = chunk_left_context × chunk_s.
+      causal_attention: apply the --dynamic_chunk_training attention
+        pattern inside the window (no frame attends a later chunk;
+        right-context audio still feeds the convolutions) — use with
+        checkpoints trained that way, left_s = chunk_left_context ×
+        chunk_s.
     """
 
     def __init__(self, params, state, model_cfg: ModelConfig,
                  audio_cfg: Optional[AudioConfig] = None, tokenizer=None, *,
                  chunk_s: float = 1.0, left_s: float = 2.0,
                  right_s: float = 0.32, n_exit: Optional[int] = None,
-                 blank: int = 0, causal_attention: bool = False):
+                 blank: Optional[int] = None, causal_attention: bool = False,
+                 _shared_weights=None):
         self.acfg = audio_cfg or AudioConfig()
         self.mcfg = model_cfg
         self.tok = tokenizer
-        self.blank = blank
+        self.blank = model_cfg.blank_id if blank is None else blank
         hop = self.acfg.hop_length
         sub_s = 4 * hop / self.acfg.sample_rate     # seconds per sub frame
         self.Cs = max(int(round(chunk_s / sub_s)), 1)
@@ -130,17 +154,19 @@ class StreamingRecognizer:
         self.win_samples = (self.W - 1) * hop
         self.n_exit = n_exit or model_cfg.n_enc_exits
 
-        n_layers = self.n_exit * model_cfg.n_enc_layers_per_exit
-        sl = slice(0, n_layers)
-        self._block_params = jax.tree_util.tree_map(lambda a: a[sl],
-                                                    params["blocks"])
-        self._block_state = jax.tree_util.tree_map(lambda a: a[sl],
-                                                   state["blocks"])
-        self._head = jax.tree_util.tree_map(lambda a: a[self.n_exit - 1],
-                                            params["heads"])
-        self._sub_params = params["subsample"]
+        if _shared_weights is not None:
+            # StreamPool passes one set of sliced weights for every
+            # stream — per-stream device copies would multiply HBM use
+            # by the stream count
+            (self._sub_params, self._block_params, self._block_state,
+             self._head) = _shared_weights
+        else:
+            (self._sub_params, self._block_params, self._block_state,
+             self._head) = _slice_weights(params, state, model_cfg,
+                                          self.n_exit)
         self._window_forward = _window_fn(model_cfg, self.acfg, self.Ls,
-                                          self.Cs, blank, causal_attention)
+                                          self.Cs, self.blank,
+                                          causal_attention)
         self._buf: List[np.ndarray] = []
         self._buf_offset = 0          # stream index of _buf[0][0]
         self._n_samples = 0
@@ -273,8 +299,12 @@ class StreamPool:
                  audio_cfg: Optional[AudioConfig] = None, tokenizer=None,
                  **kwargs):
         assert n_streams >= 1
+        shared = _slice_weights(params, state, model_cfg,
+                                kwargs.get("n_exit")
+                                or model_cfg.n_enc_exits)
         self.recs = [StreamingRecognizer(params, state, model_cfg,
-                                         audio_cfg, tokenizer, **kwargs)
+                                         audio_cfg, tokenizer,
+                                         _shared_weights=shared, **kwargs)
                      for _ in range(n_streams)]
         r0 = self.recs[0]
         self._fwd = r0._window_forward

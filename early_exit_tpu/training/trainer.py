@@ -90,6 +90,21 @@ def distill_loss(log_probs: jax.Array, sub_len: jax.Array, *,
     return (temperature ** 2) * jnp.mean(kls)
 
 
+# dynamic-chunk training: chunk sizes in subsampled frames (40 ms each)
+# — ~0.5/1/2/4 s
+CHUNK_SIZES = (12, 25, 50, 100)
+
+
+def make_chunk_mask(t_sub: int, c: int, chunk_left: int) -> jnp.ndarray:
+    """(T', T') bool: q attends within its chunk (incl. in-chunk
+    lookahead) and up to chunk_left previous chunks — the pattern
+    streaming inference reproduces (serving/streaming.py
+    causal_attention)."""
+    qc = jnp.arange(t_sub)[:, None] // c
+    kc = jnp.arange(t_sub)[None, :] // c
+    return (kc <= qc) & (qc - kc <= chunk_left)
+
+
 def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
                     optimizer) -> Callable:
     """Returns jittable `step(state, batch, rng) -> (state, metrics)`.
@@ -108,22 +123,14 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
     aed = train_cfg.decoder_mode == "aed"
     dynamic_chunk = (train_cfg.dynamic_chunk and not aed
                      and model_cfg.model_type == "early_conformer")
-    # chunk sizes in subsampled frames (40 ms each): ~0.5/1/2/4 s
-    CHUNK_SIZES = (12, 25, 50, 100)
-
-    def _chunk_mask(t_sub: int, c: int) -> jnp.ndarray:
-        """(T', T') bool: q attends within its chunk (incl. in-chunk
-        lookahead) and up to chunk_left previous chunks — matching the
-        window geometry streaming inference uses."""
-        qc = jnp.arange(t_sub)[:, None] // c
-        kc = jnp.arange(t_sub)[None, :] // c
-        return (kc <= qc) & (qc - kc <= train_cfg.chunk_left)
 
     def _sample_attn_mask(t_sub: int, rng):
         """50% full attention, else a uniformly-drawn chunk size — the
         standard dynamic-chunk recipe: one model, both serving modes."""
-        masks = jnp.stack([_chunk_mask(t_sub, c) for c in CHUNK_SIZES]
-                          + [jnp.ones((t_sub, t_sub), bool)])
+        masks = jnp.stack(
+            [make_chunk_mask(t_sub, c, train_cfg.chunk_left)
+             for c in CHUNK_SIZES]
+            + [jnp.ones((t_sub, t_sub), bool)])
         r_full, r_size = jax.random.split(rng)
         idx = jnp.where(jax.random.bernoulli(r_full, 0.5),
                         len(CHUNK_SIZES),

@@ -36,19 +36,31 @@ def _batch(B=2, T=101, F=80, L=8, seed=0):
 
 
 def test_chunk_mask_pattern():
-    tcfg = TrainConfig(decoder_mode="ctc", dynamic_chunk=True, chunk_left=1)
-    model = build_model(CFG)
-    step = trainer.make_train_step(model, CFG, tcfg,
-                                   make_optimizer(32, 10))
-    # reach the mask builder through the module: rebuild it directly
+    got = np.asarray(trainer.make_chunk_mask(10, 4, chunk_left=1))
     qc = np.arange(10)[:, None] // 4
     kc = np.arange(10)[None, :] // 4
     want = (kc <= qc) & (qc - kc <= 1)
+    np.testing.assert_array_equal(got, want)
     # in-chunk lookahead: frame 0 sees frames 1-3 (same chunk)
-    assert want[0, 3] and not want[0, 4]
+    assert got[0, 3] and not got[0, 4]
     # left context of 1 chunk: frame 8 sees chunk 1 (frames 4-7) but not 0
-    assert want[8, 4] and not want[8, 3]
-    del step
+    assert got[8, 4] and not got[8, 3]
+
+
+def test_streaming_causal_window_mask_matches_training_pattern():
+    """The serving causal_attention mask must equal make_chunk_mask's
+    allowed pairs on the window's global positions (unbounded left —
+    window truncation supplies the left bound)."""
+    Ls, Cs, Rs = 6, 3, 2
+    k = Ls + Cs + Rs
+    qc = (np.arange(k) - Ls) // Cs            # serving/streaming.py
+    got = qc[None, :] <= qc[:, None]
+    g = 7                                     # arbitrary window position
+    gpos = g * Cs - Ls + np.arange(k)
+    want = np.asarray(trainer.make_chunk_mask(
+        int(gpos[-1]) + 1, Cs, chunk_left=10**6))[gpos[:, None],
+                                                  gpos[None, :]]
+    np.testing.assert_array_equal(got, want)
 
 
 def test_full_chunk_mask_equals_no_mask():

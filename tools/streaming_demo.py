@@ -124,14 +124,17 @@ def main(argv=None):
 
     # drop the first (compile) measurement from the latency stats
     warm = sorted(chunk_times[1:]) or chunk_times
+    if not warm:
+        print(json.dumps({"utts": 0, "error": "no decodable utterances"}))
+        return
     print(json.dumps({
-        "utts": n, "exit": n_exit,
+        "utts": stream_wer.utterances, "exit": n_exit,
         "chunk_s": extra["--chunk_s"], "left_s": extra["--left_s"],
         "right_s": extra["--right_s"],
         "causal_attention": bool(extra["--causal_attention"]),
         "stream_wer_pct": round(100 * stream_wer.value, 2),
         "full_wer_pct": round(100 * full_wer.value, 2),
-        "exact_transcript_agreement": f"{agree}/{n}",
+        "exact_transcript_agreement": f"{agree}/{stream_wer.utterances}",
         "chunk_compute_ms_p50": round(1e3 * warm[len(warm) // 2], 2),
         "chunk_compute_ms_p95": round(1e3 * warm[int(len(warm) * .95)], 2),
     }))
