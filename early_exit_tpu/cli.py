@@ -185,6 +185,18 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Log-mel frontend: XLA rFFT or real-DFT matmuls; "
                         "auto = fft for training, dft for inference "
                         "(faster on the MXU).")
+    p.add_argument("--streaming", type=_bool, default=False,
+                   help="Inference only: decode through the streaming "
+                        "serving path (chunked windows via StreamPool) "
+                        "instead of whole utterances.")
+    p.add_argument("--streaming_chunk_s", type=float, default=1.0)
+    p.add_argument("--streaming_left_s", type=float, default=3.0)
+    p.add_argument("--streaming_right_s", type=float, default=0.5)
+    p.add_argument("--streaming_causal", type=_bool, default=True,
+                   help="Use the dynamic-chunk attention pattern inside "
+                        "streaming windows (matches "
+                        "--dynamic_chunk_training; also near-lossless "
+                        "for vanilla checkpoints, BENCH_NOTES.md).")
     p.add_argument("--dynamic_chunk_training", type=_bool, default=False,
                    help="Sample a chunked self-attention mask per step "
                         "(50%% full attention) so one model serves both "

@@ -199,7 +199,14 @@ class StreamingRecognizer:
             self._buf_offset = keep_from
 
     def _total_sub_frames(self) -> int:
+        """Valid sub frames of the whole stream, under the MODEL's length
+        convention: the reference rule (clamp(len/4), the training
+        default) yields 1-2 more frames than exact conv arithmetic, and
+        trained models place utterance-final tokens there — truncating
+        to the true length clips transcript tails."""
         mel = 1 + self._n_samples // self.acfg.hop_length
+        if self.mcfg.length_mode == "reference":
+            return max(mel // 4, 0)
         return max(_sub_frames_for_mel(mel), 0)
 
     def _window_args(self, g: int):

@@ -106,6 +106,55 @@ def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
           f"{model_cfg.n_enc_exits})")
 
 
+def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
+                      args, audio_cfg):
+    """Streaming serving path (--streaming): decode the split through
+    StreamPool — batched chunked windows, one dispatch per round — and
+    report WER for the serving exit. Beyond-reference capability
+    (the reference decodes whole utterances only); quality parity with
+    the batch path is shown in BENCH_NOTES.md."""
+    from early_exit_tpu.data import text as text_mod
+    from early_exit_tpu.serving import StreamPool
+
+    S = max(int(args.batch_size), 1)
+    n_exit = model_cfg.n_enc_exits
+    acc = WerAccumulator()
+    items = []
+    for i in range(len(dataset)):
+        utt = dataset[i]
+        ref = text_mod.clean_infer_label(utt.transcript)
+        if ref is not None:
+            items.append((ref, utt.waveform))
+    for start in range(0, len(items), S):
+        group = items[start:start + S]
+        pool = StreamPool(len(group), state["params"],
+                          state["model_state"], model_cfg, audio_cfg,
+                          tokenizer,
+                          chunk_s=args.streaming_chunk_s,
+                          left_s=args.streaming_left_s,
+                          right_s=args.streaming_right_s,
+                          causal_attention=args.streaming_causal)
+        # feed in ~1 s pieces round-robin, polling per round (the
+        # serving cadence); finish flushes each tail
+        step = int(audio_cfg.sample_rate * max(args.streaming_chunk_s, 0.1))
+        longest = max(len(w) for _, w in group)
+        for s0 in range(0, longest, step):
+            for i, (_, w) in enumerate(group):
+                if s0 < len(w):
+                    pool.feed(i, w[s0:s0 + step])
+            pool.poll()
+        for i, (ref, _) in enumerate(group):
+            pool.finish(i)
+            hyp = pool.transcript(i).strip().lower()
+            if lex is not None:
+                hyp = lex.apply(hyp)
+            print(split, "EXPECTED:", ref.lower())
+            print(split, f"STREAM_OUT (exit {n_exit}):", hyp)
+            acc.add(ref.lower(), hyp)
+    print(f"{split} streaming WER exit {n_exit}: {100 * acc.value:.2f}% "
+          f"({acc.utterances} utts)")
+
+
 def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
     fwd = jax.jit(trainer.make_eval_forward(model, model_cfg))
     trie_dec = None
@@ -286,7 +335,10 @@ def main(argv=None):
                         shuffle=False, infer_mode=True,
                         workers=args.n_workers)
         if args.decoder_mode == "ctc":
-            if args.exit_threshold is not None:
+            if args.streaming:
+                run_ctc_streaming(model_cfg, state, ds, split, tokenizer,
+                                  lex, args, audio_cfg)
+            elif args.exit_threshold is not None:
                 run_ctc_gated(model_cfg, state, pipe, split, tokenizer,
                               lex, args)
             else:

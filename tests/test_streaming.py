@@ -201,3 +201,19 @@ def test_stream_pool_matches_independent_recognizers(model):
     for i in range(3):
         pool.finish(i)
     assert [pool.recs[i].ids for i in range(3)] == solo
+
+
+def test_reference_length_mode_extends_stream_total():
+    """Under the reference clamp(len/4) rule (the training default) the
+    stream total is 1-2 frames longer than exact conv arithmetic —
+    trained models place utterance-final tokens there
+    (tail-truncation regression guard)."""
+    params, state = early_conformer.init(
+        jax.random.PRNGKey(0),
+        ModelConfig(**{**CFG.__dict__, "length_mode": "reference"}))
+    ref_cfg = ModelConfig(**{**CFG.__dict__, "length_mode": "reference"})
+    a = StreamingRecognizer(params, state, CFG, ACFG, chunk_s=1.0)
+    b = StreamingRecognizer(params, state, ref_cfg, ACFG, chunk_s=1.0)
+    for rec in (a, b):
+        rec._n_samples = 3 * 16000
+    assert b._total_sub_frames() > a._total_sub_frames()
