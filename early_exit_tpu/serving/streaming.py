@@ -60,8 +60,10 @@ _WINDOW_CACHE: dict = {}
 
 
 def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
-               blank: int, causal_attention: bool):
-    key = (repr(mcfg), repr(acfg), Ls, Cs, blank, causal_attention)
+               blank: int, causal_attention: bool,
+               with_confidence: bool = False):
+    key = (repr(mcfg), repr(acfg), Ls, Cs, blank, causal_attention,
+           with_confidence)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
     ccfg = _conformer_cfg(mcfg)
@@ -108,7 +110,18 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         best = jnp.argmax(logp, axis=-1)                      # (S, K)
         best = jnp.where(mask, best, blank)
-        return best[:, Ls:Ls + Cs]
+        if not with_confidence:
+            return best[:, Ls:Ls + Cs]
+        # per-stream mean max-prob over VALID chunk frames (the gate
+        # metric, models/early_exit_gate.exit_confidence); all-invalid
+        # chunks report 1.0 so the gate never escalates for padding
+        cm = mask[:, Ls:Ls + Cs].astype(jnp.float32)
+        max_p = jnp.exp(jnp.max(logp[:, Ls:Ls + Cs], axis=-1))
+        denom = jnp.sum(cm, axis=1)
+        conf = jnp.where(denom > 0,
+                         jnp.sum(max_p * cm, axis=1)
+                         / jnp.maximum(denom, 1.0), 1.0)
+        return best[:, Ls:Ls + Cs], conf
 
     _WINDOW_CACHE[key] = window_forward
     return window_forward
@@ -139,7 +152,8 @@ class StreamingRecognizer:
                  chunk_s: float = 1.0, left_s: float = 2.0,
                  right_s: float = 0.32, n_exit: Optional[int] = None,
                  blank: Optional[int] = None, causal_attention: bool = False,
-                 _shared_weights=None):
+                 exit_threshold: Optional[float] = None, fast_exit: int = 1,
+                 _shared_weights=None, _shared_fast_weights=None):
         self.acfg = audio_cfg or AudioConfig()
         self.mcfg = model_cfg
         self.tok = tokenizer
@@ -167,6 +181,22 @@ class StreamingRecognizer:
         self._window_forward = _window_fn(model_cfg, self.acfg, self.Ls,
                                           self.Cs, self.blank,
                                           causal_attention)
+        # confidence-gated dynamic exit (the framework's early-exit
+        # thesis applied to serving): each chunk first decodes at
+        # `fast_exit`; only chunks whose gate confidence is below
+        # `exit_threshold` re-run through the deep trunk
+        self.exit_threshold = exit_threshold
+        self.fast_exit = fast_exit
+        self.exits_run: List[int] = []     # per-chunk exit actually used
+        if exit_threshold is not None:
+            assert 1 <= fast_exit < self.n_exit
+            self._fast_weights = (_shared_fast_weights
+                                  or _slice_weights(params, state,
+                                                    model_cfg, fast_exit))
+            self._fast_forward = _window_fn(model_cfg, self.acfg, self.Ls,
+                                            self.Cs, self.blank,
+                                            causal_attention,
+                                            with_confidence=True)
         self._buf: List[np.ndarray] = []
         self._buf_offset = 0          # stream index of _buf[0][0]
         self._n_samples = 0
@@ -236,11 +266,20 @@ class StreamingRecognizer:
 
     def _run_chunk(self, g: int, n_valid_sub: int):
         seg, pos0 = self._window_args(g)
+        wav = jnp.asarray(seg[None])
+        p0 = jnp.asarray([pos0], jnp.int32)
+        nv = jnp.asarray([n_valid_sub], jnp.int32)
+        if self.exit_threshold is not None:
+            fbest, conf = self._fast_forward(*self._fast_weights, wav,
+                                             p0, nv)
+            if float(conf[0]) >= self.exit_threshold:
+                self.exits_run.append(self.fast_exit)
+                return self._advance(np.asarray(fbest)[0])
         best = np.asarray(self._window_forward(
             self._sub_params, self._block_params, self._block_state,
-            self._head, jnp.asarray(seg[None]),
-            jnp.asarray([pos0], jnp.int32),
-            jnp.asarray([n_valid_sub], jnp.int32)))[0]
+            self._head, wav, p0, nv))[0]
+        if self.exit_threshold is not None:
+            self.exits_run.append(self.n_exit)
         return self._advance(best)
 
     def _emit(self, ids: List[int]):
@@ -309,9 +348,15 @@ class StreamPool:
         shared = _slice_weights(params, state, model_cfg,
                                 kwargs.get("n_exit")
                                 or model_cfg.n_enc_exits)
+        shared_fast = None
+        if kwargs.get("exit_threshold") is not None:
+            shared_fast = _slice_weights(params, state, model_cfg,
+                                         kwargs.get("fast_exit", 1))
         self.recs = [StreamingRecognizer(params, state, model_cfg,
                                          audio_cfg, tokenizer,
-                                         _shared_weights=shared, **kwargs)
+                                         _shared_weights=shared,
+                                         _shared_fast_weights=shared_fast,
+                                         **kwargs)
                      for _ in range(n_streams)]
         r0 = self.recs[0]
         self._fwd = r0._window_forward
@@ -344,15 +389,43 @@ class StreamPool:
                 seg, p0 = self.recs[i]._window_args(
                     self.recs[i]._next_chunk)
                 wav[i], pos0[i], n_valid[i] = seg, p0, self._K
+            jw, jp, jn = (jnp.asarray(wav), jnp.asarray(pos0),
+                          jnp.asarray(n_valid))
+            deep = ready
+            if r0.exit_threshold is not None:
+                # gated: one fast-exit dispatch for all ready rows; only
+                # unconfident rows take the second (deep-trunk) dispatch
+                fbest, conf = self._fwd_fast(jw, jp, jn)
+                fbest, conf = np.asarray(fbest), np.asarray(conf)
+                deep = []
+                for i in ready:
+                    if conf[i] >= r0.exit_threshold:
+                        self.recs[i].exits_run.append(r0.fast_exit)
+                        out = self.recs[i]._advance(fbest[i])
+                        if out:
+                            emitted.setdefault(i, []).extend(out)
+                    else:
+                        deep.append(i)
+                if not deep:
+                    continue
+                keep = np.zeros_like(n_valid)
+                for i in deep:
+                    keep[i] = n_valid[i]
+                jn = jnp.asarray(keep)
             best = np.asarray(self._fwd(
                 r0._sub_params, r0._block_params, r0._block_state,
-                r0._head, jnp.asarray(wav), jnp.asarray(pos0),
-                jnp.asarray(n_valid)))
-            for i in ready:
+                r0._head, jw, jp, jn))
+            for i in deep:
+                if r0.exit_threshold is not None:
+                    self.recs[i].exits_run.append(r0.n_exit)
                 out = self.recs[i]._advance(best[i])
                 if out:
                     emitted.setdefault(i, []).extend(out)
         return {i: self.recs[i]._emit(ids) for i, ids in emitted.items()}
+
+    def _fwd_fast(self, jw, jp, jn):
+        r0 = self.recs[0]
+        return r0._fast_forward(*r0._fast_weights, jw, jp, jn)
 
     def finish(self, stream_id: int):
         """Flush one stream's tail (single-row dispatch)."""

