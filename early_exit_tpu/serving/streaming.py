@@ -112,15 +112,13 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
         best = jnp.where(mask, best, blank)
         if not with_confidence:
             return best[:, Ls:Ls + Cs]
-        # per-stream mean max-prob over VALID chunk frames (the gate
-        # metric, models/early_exit_gate.exit_confidence); all-invalid
-        # chunks report 1.0 so the gate never escalates for padding
-        cm = mask[:, Ls:Ls + Cs].astype(jnp.float32)
-        max_p = jnp.exp(jnp.max(logp[:, Ls:Ls + Cs], axis=-1))
-        denom = jnp.sum(cm, axis=1)
-        conf = jnp.where(denom > 0,
-                         jnp.sum(max_p * cm, axis=1)
-                         / jnp.maximum(denom, 1.0), 1.0)
+        # the gate metric (mean max-prob over valid chunk frames) comes
+        # from the one shared implementation; all-invalid chunks report
+        # 1.0 so the gate never escalates for padding
+        from early_exit_tpu.models.early_exit_gate import exit_confidence
+        cmask = mask[:, Ls:Ls + Cs]
+        conf = jnp.where(jnp.any(cmask, axis=1),
+                         exit_confidence(logp[:, Ls:Ls + Cs], cmask), 1.0)
         return best[:, Ls:Ls + Cs], conf
 
     _WINDOW_CACHE[key] = window_forward
@@ -185,11 +183,16 @@ class StreamingRecognizer:
         # thesis applied to serving): each chunk first decodes at
         # `fast_exit`; only chunks whose gate confidence is below
         # `exit_threshold` re-run through the deep trunk
+        if exit_threshold is not None and not (1 <= fast_exit
+                                               < self.n_exit):
+            # single-exit serving (or fast==deep): gating is meaningless
+            print(f"streaming: exit_threshold ignored (fast_exit="
+                  f"{fast_exit} must be < n_exit={self.n_exit})")
+            exit_threshold = None
         self.exit_threshold = exit_threshold
         self.fast_exit = fast_exit
         self.exits_run: List[int] = []     # per-chunk exit actually used
         if exit_threshold is not None:
-            assert 1 <= fast_exit < self.n_exit
             self._fast_weights = (_shared_fast_weights
                                   or _slice_weights(params, state,
                                                     model_cfg, fast_exit))

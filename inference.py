@@ -116,18 +116,32 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
     from early_exit_tpu.data import text as text_mod
     from early_exit_tpu.serving import StreamPool
 
+    if args.decode != "greedy" or args.lm_path:
+        sys.exit("--streaming decodes greedily per chunk; it does not "
+                 "combine with --decode beams or --lm_path (run without "
+                 "--streaming for those)")
     S = max(int(args.batch_size), 1)
     n_exit = model_cfg.n_enc_exits
     acc = WerAccumulator()
     exits_run = []
-    items = []
-    for i in range(len(dataset)):
-        utt = dataset[i]
-        ref = text_mod.clean_infer_label(utt.transcript)
-        if ref is not None:
-            items.append((ref, utt.waveform))
-    for start in range(0, len(items), S):
-        group = items[start:start + S]
+
+    def groups():
+        """Load/decode audio lazily, one batch_size group at a time —
+        a full split's waveforms would be gigabytes."""
+        group = []
+        for i in range(len(dataset)):
+            utt = dataset[i]
+            ref = text_mod.clean_infer_label(utt.transcript)
+            if ref is None:
+                continue
+            group.append((ref, utt.waveform))
+            if len(group) == S:
+                yield group
+                group = []
+        if group:
+            yield group
+
+    for group in groups():
         pool = StreamPool(len(group), state["params"],
                           state["model_state"], model_cfg, audio_cfg,
                           tokenizer,
@@ -344,6 +358,9 @@ def main(argv=None):
         pipe = Pipeline(ds, tokenizer, audio_cfg, train_cfg, bpe=args.bpe,
                         shuffle=False, infer_mode=True,
                         workers=args.n_workers)
+        if args.streaming and args.decoder_mode != "ctc":
+            sys.exit("--streaming is a CTC serving path; AED decoding "
+                     "is whole-utterance only")
         if args.decoder_mode == "ctc":
             if args.streaming:
                 run_ctc_streaming(model_cfg, state, ds, split, tokenizer,

@@ -266,6 +266,5 @@ def test_gated_stream_pool_matches_solo(model):
         pool.finish(i)
     for i in range(3):
         assert (pool.recs[i].ids, pool.recs[i].exits_run) == solo[i]
-    # the mid threshold actually exercises BOTH branches somewhere
-    all_exits = [e for ids, er in solo for e in er]
-    assert len(set(all_exits)) >= 1
+    # (branch coverage for BOTH gate outcomes is pinned by
+    # test_gated_streaming_threshold_extremes)

@@ -80,6 +80,8 @@ def make_server(argv, port_holder=None):
         params, mstate = checkpoint.load_model_file(
             args.load_model_path, params, mstate)
 
+    from early_exit_tpu.serving.streaming import _slice_weights
+
     rec_kw = dict(chunk_s=extra["--chunk_s"], left_s=extra["--left_s"],
                   right_s=extra["--right_s"],
                   causal_attention=bool(extra["--causal_attention"]),
@@ -87,11 +89,32 @@ def make_server(argv, port_holder=None):
                   else None)
     if args.exit_threshold is not None:
         rec_kw["exit_threshold"] = float(args.exit_threshold)
+    # one device copy of the sliced trunk/head shared by EVERY connection
+    n_exit = rec_kw["n_exit"] or mcfg.n_enc_exits
+    rec_kw["_shared_weights"] = _slice_weights(params, mstate, mcfg, n_exit)
+    if rec_kw.get("exit_threshold") is not None and n_exit > 1:
+        rec_kw["_shared_fast_weights"] = _slice_weights(params, mstate,
+                                                        mcfg, 1)
 
     class Handler(socketserver.StreamRequestHandler):
+        def _reply(self, obj):
+            self.wfile.write((json.dumps(obj) + "\n").encode())
+            self.wfile.flush()
+
         def handle(self):
-            header = json.loads(self.rfile.readline())
-            assert header.get("format", "s16le") == "s16le", "s16le only"
+            try:
+                header = json.loads(self.rfile.readline() or b"null")
+            except json.JSONDecodeError:
+                header = None
+            if not isinstance(header, dict):
+                return self._reply({"error": "expected a JSON header line"})
+            if header.get("format", "s16le") != "s16le":
+                return self._reply({"error": "only s16le PCM is supported"})
+            if int(header.get("sample_rate",
+                              acfg.sample_rate)) != acfg.sample_rate:
+                return self._reply(
+                    {"error": f"server decodes {acfg.sample_rate} Hz "
+                              f"audio; resample before streaming"})
             rec = StreamingRecognizer(params, mstate, mcfg, acfg, tok,
                                       **rec_kw)
             carry = b""
@@ -110,14 +133,10 @@ def make_server(argv, port_holder=None):
                 carry = carry[usable:]
                 out = rec.accept_waveform(pcm.astype(np.float32) / 32768.0)
                 if out:
-                    self.wfile.write((json.dumps(
-                        {"partial": out}) + "\n").encode())
-                    self.wfile.flush()
+                    self._reply({"partial": out})
             rec.finish()
-            self.wfile.write((json.dumps({
-                "final": rec.transcript, "ids": rec.ids,
-                "exits_run": rec.exits_run}) + "\n").encode())
-            self.wfile.flush()
+            self._reply({"final": rec.transcript, "ids": rec.ids,
+                         "exits_run": rec.exits_run})
 
     srv = _Server(("127.0.0.1", int(extra["--port"])), Handler)
     if port_holder is not None:
