@@ -28,12 +28,14 @@ def test_dress_rehearsal_fast(tmp_path):
     gated dynamic-exit leg."""
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "dress_rehearsal.py"),
-         "--fast", "--legs", "ctc,lm,gated", "--workdir", str(tmp_path)],
+         "--fast", "--legs", "ctc,lm,gated,streaming",
+         "--workdir", str(tmp_path)],
         capture_output=True, text=True, timeout=1200)
     assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
     assert '"wer_pct"' in p.stdout
     assert '"lm_wer_pct"' in p.stdout
     assert '"gated_mean_exits"' in p.stdout
+    assert '"streaming_wer_pct"' in p.stdout
 
 
 def test_dress_rehearsal_aed(tmp_path):

@@ -81,7 +81,9 @@ def main():
                          "CTC one: lm (train an ARPA from the corpus "
                          "transcripts + shallow-fusion decode), gated "
                          "(confidence-gated dynamic early exit), aed "
-                         "(full_conformer joint CE+CTC train + AED beam)")
+                         "(full_conformer joint CE+CTC train + AED "
+                         "beam), streaming (chunked serving path incl. "
+                         "the gated fast/deep variant)")
     ap.add_argument("--fast", action="store_true",
                     help="CI-sized: tiny corpus, 2 epochs, greedy checks")
     ap.add_argument("--d_model", type=int, default=64)
@@ -197,6 +199,23 @@ def main():
             sys.exit("gated leg: no gated WER line")
         summary["gated_wer_pct"] = float(m.group(1))
         summary["gated_mean_exits"] = float(m.group(2))
+
+    if "streaming" in legs:
+        # chunked serving path through the product CLI (greedy per
+        # chunk; compare against wer_pct above which used args.decode)
+        s_out = run(infer_base + ["--streaming", "true"], env)
+        m = re.search(r"streaming WER exit \d+: ([0-9.]+)%", s_out)
+        if not m:
+            sys.exit("streaming leg: no streaming WER line")
+        summary["streaming_wer_pct"] = float(m.group(1))
+        g_out = run(infer_base + ["--streaming", "true",
+                                  "--exit_threshold", "0.7"], env)
+        m = re.search(r"streaming WER exit \d+: ([0-9.]+)% .*mean exit "
+                      r"([0-9.]+)", g_out)
+        if not m:
+            sys.exit("streaming leg: no gated streaming WER line")
+        summary["streaming_gated_wer_pct"] = float(m.group(1))
+        summary["streaming_gated_mean_exit"] = float(m.group(2))
 
     if "aed" in legs:
         aed_moddir = os.path.join(work, "model_aed")
