@@ -90,10 +90,21 @@ def main():
     ap.add_argument("--n_exits", type=int, default=2)
     ap.add_argument("--n_layers", type=int, default=1,
                     help="encoder layers per exit")
+    ap.add_argument("--warmup", type=int, default=600,
+                    help="Noam warmup steps. The train.py default (-1 = "
+                         "one epoch) peaks the LR after ~50 steps on a "
+                         "mini corpus, which makes 40-epoch toy runs "
+                         "basin-lottery unstable (deep-exit heads can "
+                         "diverge); a longer warmup keeps the rehearsal "
+                         "reproducible.")
     args = ap.parse_args()
     if args.fast:
         args.epochs = min(args.epochs, 2)
         args.n_train, args.n_test = 24, 6
+        if args.warmup == 600:
+            # a 2-epoch smoke has ~6 steps total; the long stable-run
+            # warmup would leave the LR too small to move the loss
+            args.warmup = -1
 
     work = args.workdir or tempfile.mkdtemp(prefix="dress_rehearsal_")
     corpus = os.path.join(work, "corpus")
@@ -115,6 +126,7 @@ def main():
     train_out = run([sys.executable, os.path.join(REPO, "train.py"),
                      "--decoder_mode", "ctc", "--data_root", corpus,
                      "--n_epochs", str(args.epochs),
+                     "--warmup", str(args.warmup),
                      "--batch_size", "8", "--n_batch_split", "1",
                      "--save_model_dir", moddir, "--n_workers", "2",
                      "--log_dir", os.path.join(work, "runs"), *tiny], env)
