@@ -90,21 +90,20 @@ def main():
     ap.add_argument("--n_exits", type=int, default=2)
     ap.add_argument("--n_layers", type=int, default=1,
                     help="encoder layers per exit")
-    ap.add_argument("--warmup", type=int, default=600,
-                    help="Noam warmup steps. The train.py default (-1 = "
-                         "one epoch) peaks the LR after ~50 steps on a "
-                         "mini corpus, which makes 40-epoch toy runs "
-                         "basin-lottery unstable (deep-exit heads can "
-                         "diverge); a longer warmup keeps the rehearsal "
-                         "reproducible.")
+    ap.add_argument("--conv_norm", default="batch",
+                    choices=["batch", "group"],
+                    help="Conformer conv-module norm for the rehearsal "
+                         "model (batch = reference parity).")
+    ap.add_argument("--warmup", type=int, default=-1,
+                    help="Noam warmup steps (-1 = one epoch of "
+                         "sub-batches, the train.py default). Long toy "
+                         "runs are a basin lottery whatever the warmup "
+                         "(measured: 600 steps or GroupNorm made it "
+                         "worse, not better) — see BENCH_NOTES.md.")
     args = ap.parse_args()
     if args.fast:
         args.epochs = min(args.epochs, 2)
         args.n_train, args.n_test = 24, 6
-        if args.warmup == 600:
-            # a 2-epoch smoke has ~6 steps total; the long stable-run
-            # warmup would leave the LR too small to move the loss
-            args.warmup = -1
 
     work = args.workdir or tempfile.mkdtemp(prefix="dress_rehearsal_")
     corpus = os.path.join(work, "corpus")
@@ -122,6 +121,7 @@ def main():
             "--n_heads", "4",
             "--d_feed_forward", str(2 * args.d_model),
             "--depthwise_kernel_size", "7",
+            "--conv_norm", args.conv_norm,
             "--compute_dtype", "float32"]
     train_out = run([sys.executable, os.path.join(REPO, "train.py"),
                      "--decoder_mode", "ctc", "--data_root", corpus,
