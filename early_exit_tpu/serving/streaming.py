@@ -125,6 +125,55 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
     return window_forward
 
 
+def _window_fn_all_exits(mcfg: ModelConfig, acfg: AudioConfig, Ls: int,
+                         Cs: int, blank: int, causal_attention: bool):
+    """Window program decoding EVERY exit from one trunk pass — the
+    streaming analogue of the reference's per-exit eval contract
+    (inference.py:44-48 decodes each exit)."""
+    key = ("all_exits", repr(mcfg), repr(acfg), Ls, Cs, blank,
+           causal_attention)
+    if key in _WINDOW_CACHE:
+        return _WINDOW_CACHE[key]
+    ccfg = _conformer_cfg(mcfg)
+    mel_method = acfg.mel_method if acfg.mel_method in ("fft", "dft") \
+        else "fft"
+
+    @jax.jit
+    def window_forward(sub_params, block_params, block_state, heads,
+                       wav_win, pos0, n_valid_sub):
+        """Returns (E, S, Cs) best-path ids — one row set per exit."""
+        feats = frontend.mel_spectrogram(wav_win, acfg, method=mel_method)
+        x = subsampling.conv_subsample_apply(
+            sub_params, feats, compute_dtype=mcfg.dtype)
+        s, k = x.shape[0], x.shape[1]
+        pos = pos0[:, None] + jnp.arange(k)[None, :]
+        pe = nn.sinusoidal_pe_at(pos.reshape(-1), mcfg.d_model)
+        x = x.astype(jnp.float32) + pe.reshape(s, k, -1)
+        mask = (pos >= 0) & (jnp.arange(k)[None, :]
+                             < n_valid_sub[:, None])
+        x = jnp.where(mask[..., None], x, 0.0).astype(mcfg.rdtype)
+        attn_mask = None
+        if causal_attention:
+            qc = (jnp.arange(k) - Ls) // Cs
+            attn_mask = qc[None, :] <= qc[:, None]
+        _, _, layer_outs = conformer.stack_apply(
+            block_params, block_state, x, mask, ccfg, train=False,
+            collect_outputs=True, attn_mask=attn_mask)
+        exit_idx = (jnp.arange(1, mcfg.n_enc_exits + 1)
+                    * mcfg.n_enc_layers_per_exit - 1)
+        exit_hidden = jnp.take(layer_outs, exit_idx, axis=0)  # (E,S,K,D)
+
+        def one(head_p, h):
+            logits = nn.linear(head_p, h, compute_dtype=mcfg.dtype)
+            return jnp.argmax(logits.astype(jnp.float32), axis=-1)
+        best = jax.vmap(one)(heads, exit_hidden)              # (E, S, K)
+        best = jnp.where(mask[None], best, blank)
+        return best[:, :, Ls:Ls + Cs]
+
+    _WINDOW_CACHE[key] = window_forward
+    return window_forward
+
+
 class StreamingRecognizer:
     """Incremental recognizer over one audio stream.
 
@@ -151,6 +200,7 @@ class StreamingRecognizer:
                  right_s: float = 0.32, n_exit: Optional[int] = None,
                  blank: Optional[int] = None, causal_attention: bool = False,
                  exit_threshold: Optional[float] = None, fast_exit: int = 1,
+                 all_exits: bool = False,
                  _shared_weights=None, _shared_fast_weights=None):
         self.acfg = audio_cfg or AudioConfig()
         self.mcfg = model_cfg
@@ -166,7 +216,20 @@ class StreamingRecognizer:
         self.win_samples = (self.W - 1) * hop
         self.n_exit = n_exit or model_cfg.n_enc_exits
 
-        if _shared_weights is not None:
+        self.all_exits = all_exits
+        if all_exits:
+            # decode EVERY exit from one trunk pass (per-exit eval
+            # contract); incompatible with slicing/gating
+            assert exit_threshold is None and n_exit is None
+            self.n_exit = model_cfg.n_enc_exits
+            self._sub_params = params["subsample"]
+            self._block_params = params["blocks"]
+            self._block_state = state["blocks"]
+            self._head = params["heads"]
+            self._window_forward = _window_fn_all_exits(
+                model_cfg, self.acfg, self.Ls, self.Cs, self.blank,
+                causal_attention)
+        elif _shared_weights is not None:
             # StreamPool passes one set of sliced weights for every
             # stream — per-stream device copies would multiply HBM use
             # by the stream count
@@ -176,9 +239,12 @@ class StreamingRecognizer:
             (self._sub_params, self._block_params, self._block_state,
              self._head) = _slice_weights(params, state, model_cfg,
                                           self.n_exit)
-        self._window_forward = _window_fn(model_cfg, self.acfg, self.Ls,
-                                          self.Cs, self.blank,
-                                          causal_attention)
+        if not all_exits:
+            self._window_forward = _window_fn(model_cfg, self.acfg,
+                                              self.Ls, self.Cs,
+                                              self.blank,
+                                              causal_attention)
+        self._n_out = self.n_exit if all_exits else 1
         # confidence-gated dynamic exit (the framework's early-exit
         # thesis applied to serving): each chunk first decodes at
         # `fast_exit`; only chunks whose gate confidence is below
@@ -204,8 +270,10 @@ class StreamingRecognizer:
         self._buf_offset = 0          # stream index of _buf[0][0]
         self._n_samples = 0
         self._next_chunk = 0          # next chunk index (in chunks)
-        self._last_token = -1         # carry across chunk seams
-        self._ids: List[int] = []
+        # per-output-head collapse carry and emitted ids (one output in
+        # the default mode, one per exit under all_exits)
+        self._last_tokens = [-1] * self._n_out
+        self._ids_out: List[List[int]] = [[] for _ in range(self._n_out)]
         self._finished = False
 
     # -- internals ---------------------------------------------------------
@@ -255,17 +323,26 @@ class StreamingRecognizer:
         return seg, g * self.Cs - self.Ls
 
     def _advance(self, best_row: np.ndarray) -> List[int]:
-        """Collapse one chunk's best-path ids across the seam; advance."""
-        out = []
-        for t in best_row:
-            t = int(t)
-            if t != self.blank and t != self._last_token:
-                out.append(t)
-            self._last_token = t
-        self._ids.extend(out)
+        """Collapse one chunk's best-path ids across the seam; advance.
+
+        best_row: (Cs,) in the default mode, (n_out, Cs) under
+        all_exits. Returns the DEEPEST output's new ids."""
+        rows = best_row if best_row.ndim == 2 else best_row[None]
+        out_last = []
+        for e in range(self._n_out):
+            out = []
+            last = self._last_tokens[e]
+            for t in rows[e]:
+                t = int(t)
+                if t != self.blank and t != last:
+                    out.append(t)
+                last = t
+            self._last_tokens[e] = last
+            self._ids_out[e].extend(out)
+            out_last = out
         self._next_chunk += 1
         self._trim()
-        return out
+        return out_last
 
     def _run_chunk(self, g: int, n_valid_sub: int):
         seg, pos0 = self._window_args(g)
@@ -280,7 +357,8 @@ class StreamingRecognizer:
                 return self._advance(np.asarray(fbest)[0])
         best = np.asarray(self._window_forward(
             self._sub_params, self._block_params, self._block_state,
-            self._head, wav, p0, nv))[0]
+            self._head, wav, p0, nv))
+        best = best[:, 0] if self.all_exits else best[0]
         if self.exit_threshold is not None:
             self.exits_run.append(self.n_exit)
         return self._advance(best)
@@ -326,11 +404,20 @@ class StreamingRecognizer:
 
     @property
     def ids(self) -> List[int]:
-        return list(self._ids)
+        """Deepest output's ids (every mode)."""
+        return list(self._ids_out[-1])
 
     @property
     def transcript(self):
-        return self._emit(self._ids)
+        return self._emit(self._ids_out[-1])
+
+    def ids_at(self, n_exit: int) -> List[int]:
+        """Per-exit ids (all_exits mode; 1-based)."""
+        assert self.all_exits
+        return list(self._ids_out[n_exit - 1])
+
+    def transcript_at(self, n_exit: int):
+        return self._emit(self.ids_at(n_exit))
 
 
 class StreamPool:
@@ -348,9 +435,11 @@ class StreamPool:
                  audio_cfg: Optional[AudioConfig] = None, tokenizer=None,
                  **kwargs):
         assert n_streams >= 1
-        shared = _slice_weights(params, state, model_cfg,
-                                kwargs.get("n_exit")
-                                or model_cfg.n_enc_exits)
+        shared = None
+        if not kwargs.get("all_exits"):
+            shared = _slice_weights(params, state, model_cfg,
+                                    kwargs.get("n_exit")
+                                    or model_cfg.n_enc_exits)
         shared_fast = None
         if kwargs.get("exit_threshold") is not None:
             shared_fast = _slice_weights(params, state, model_cfg,
@@ -421,7 +510,8 @@ class StreamPool:
             for i in deep:
                 if r0.exit_threshold is not None:
                     self.recs[i].exits_run.append(r0.n_exit)
-                out = self.recs[i]._advance(best[i])
+                row = best[:, i] if r0.all_exits else best[i]
+                out = self.recs[i]._advance(row)
                 if out:
                     emitted.setdefault(i, []).extend(out)
         return {i: self.recs[i]._emit(ids) for i, ids in emitted.items()}

@@ -122,7 +122,12 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
                  "--streaming for those)")
     S = max(int(args.batch_size), 1)
     n_exit = model_cfg.n_enc_exits
-    acc = WerAccumulator()
+    gated = args.exit_threshold is not None
+    # ungated: decode EVERY exit from one trunk pass per window (the
+    # reference's per-exit eval contract, inference.py:44-48); gated:
+    # fast/deep pair only
+    n_out = 1 if gated else n_exit
+    accs = [WerAccumulator() for _ in range(n_out)]
     exits_run = []
 
     def groups():
@@ -142,16 +147,17 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
             yield group
 
     for group in groups():
+        kw = dict(chunk_s=args.streaming_chunk_s,
+                  left_s=args.streaming_left_s,
+                  right_s=args.streaming_right_s,
+                  causal_attention=args.streaming_causal)
+        if gated:
+            kw["exit_threshold"] = float(args.exit_threshold)
+        else:
+            kw["all_exits"] = True
         pool = StreamPool(len(group), state["params"],
                           state["model_state"], model_cfg, audio_cfg,
-                          tokenizer,
-                          chunk_s=args.streaming_chunk_s,
-                          left_s=args.streaming_left_s,
-                          right_s=args.streaming_right_s,
-                          causal_attention=args.streaming_causal,
-                          exit_threshold=(None if args.exit_threshold
-                                          is None
-                                          else float(args.exit_threshold)))
+                          tokenizer, **kw)
         # feed in ~1 s pieces round-robin, polling per round (the
         # serving cadence); finish flushes each tail
         step = int(audio_cfg.sample_rate * max(args.streaming_chunk_s, 0.1))
@@ -163,20 +169,27 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
             pool.poll()
         for i, (ref, _) in enumerate(group):
             pool.finish(i)
-            hyp = pool.transcript(i).strip().lower()
-            if lex is not None:
-                hyp = lex.apply(hyp)
+            rec = pool.recs[i]
             print(split, "EXPECTED:", ref.lower())
-            print(split, f"STREAM_OUT (exit {n_exit}):", hyp)
-            acc.add(ref.lower(), hyp)
-            exits_run.extend(pool.recs[i].exits_run)
+            for e in range(n_out):
+                ids = rec.ids_at(e + 1) if not gated else rec.ids
+                hyp = (tokenizer.decode(ids) if tokenizer
+                       else " ".join(map(str, ids))).strip().lower()
+                if lex is not None:
+                    hyp = lex.apply(hyp)
+                label = e + 1 if not gated else n_exit
+                print(split, f"STREAM_OUT (exit {label}):", hyp)
+                accs[e].add(ref.lower(), hyp)
+            exits_run.extend(rec.exits_run)
     gate = ""
     if exits_run:
         gate = (f" (gated: mean exit {np.mean(exits_run):.2f}/{n_exit}, "
                 f"{100 * np.mean(np.asarray(exits_run) == 1):.0f}% of "
                 f"chunks at exit 1)")
-    print(f"{split} streaming WER exit {n_exit}: {100 * acc.value:.2f}% "
-          f"({acc.utterances} utts){gate}")
+    for e, acc in enumerate(accs):
+        label = e + 1 if not gated else n_exit
+        print(f"{split} streaming WER exit {label}: "
+              f"{100 * acc.value:.2f}% ({acc.utterances} utts){gate}")
 
 
 def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):

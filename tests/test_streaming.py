@@ -268,3 +268,46 @@ def test_gated_stream_pool_matches_solo(model):
         assert (pool.recs[i].ids, pool.recs[i].exits_run) == solo[i]
     # (branch coverage for BOTH gate outcomes is pinned by
     # test_gated_streaming_threshold_extremes)
+
+
+def test_all_exits_streaming_matches_single_exit_paths(model):
+    """all_exits decodes every exit from ONE trunk pass; each exit's ids
+    must equal the corresponding sliced single-exit recognizer."""
+    params, state = model
+    wav = _wav(2.5, seed=30)
+    kw = dict(chunk_s=0.5, left_s=1.0, right_s=0.2)
+
+    rec_all = StreamingRecognizer(params, state, CFG, ACFG,
+                                  all_exits=True, **kw)
+    rec_all.accept_waveform(wav)
+    rec_all.finish()
+
+    for e in (1, 2):
+        rec = StreamingRecognizer(params, state, CFG, ACFG, n_exit=e, **kw)
+        rec.accept_waveform(wav)
+        rec.finish()
+        assert rec_all.ids_at(e) == rec.ids, f"exit {e}"
+    assert rec_all.ids == rec_all.ids_at(2)
+
+
+def test_all_exits_stream_pool_matches_solo(model):
+    from early_exit_tpu.serving import StreamPool
+
+    params, state = model
+    wavs = [_wav(1.5 + 0.4 * i, seed=40 + i) for i in range(2)]
+    kw = dict(chunk_s=0.5, left_s=1.0, right_s=0.2, all_exits=True)
+
+    solo = []
+    for w in wavs:
+        rec = StreamingRecognizer(params, state, CFG, ACFG, **kw)
+        rec.accept_waveform(w)
+        rec.finish()
+        solo.append([rec.ids_at(e) for e in (1, 2)])
+
+    pool = StreamPool(2, params, state, CFG, ACFG, **kw)
+    for i, w in enumerate(wavs):
+        pool.feed(i, w)
+    pool.poll()
+    for i in range(2):
+        pool.finish(i)
+        assert [pool.recs[i].ids_at(e) for e in (1, 2)] == solo[i]
