@@ -220,7 +220,8 @@ class StreamingRecognizer:
         if all_exits:
             # decode EVERY exit from one trunk pass (per-exit eval
             # contract); incompatible with slicing/gating
-            assert exit_threshold is None and n_exit is None
+            assert exit_threshold is None and n_exit is None, \
+                "all_exits decodes every exit; drop n_exit/exit_threshold"
             self.n_exit = model_cfg.n_enc_exits
             self._sub_params = params["subsample"]
             self._block_params = params["blocks"]
