@@ -59,6 +59,48 @@ def _slice_weights(params, state, mcfg: ModelConfig, n_exit: int):
 _WINDOW_CACHE: dict = {}
 
 
+def _embed_window(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
+                  causal_attention: bool, sub_params, wav_win, pos0,
+                  n_valid_sub):
+    """Shared window preamble: mel → subsample → global-position PE →
+    validity mask → causal chunk mask. Returns (x, mask, attn_mask, ccfg).
+
+    The validity mask marks frames at negative global positions
+    (pre-stream padding of early windows) invalid too, exactly as
+    training masks padding. It is therefore NOT a prefix mask — the
+    fused Pallas block (which collapses masks to prefix lengths) is
+    disabled for window programs below."""
+    import dataclasses
+
+    mel_method = acfg.mel_method if acfg.mel_method in ("fft", "dft") \
+        else "fft"
+    feats = frontend.mel_spectrogram(wav_win, acfg, method=mel_method)
+    x = subsampling.conv_subsample_apply(
+        sub_params, feats, compute_dtype=mcfg.dtype)          # (S, K, D)
+    s, k = x.shape[0], x.shape[1]
+    pos = pos0[:, None] + jnp.arange(k)[None, :]              # (S, K)
+    pe = nn.sinusoidal_pe_at(pos.reshape(-1), mcfg.d_model)
+    x = x.astype(jnp.float32) + pe.reshape(s, k, -1)
+    mask = (pos >= 0) & (jnp.arange(k)[None, :]
+                         < n_valid_sub[:, None])              # (S, K)
+    x = jnp.where(mask[..., None], x, 0.0).astype(mcfg.rdtype)
+    attn_mask = None
+    if causal_attention:
+        # reproduce the dynamic-chunk TRAINING pattern
+        # (trainer.make_chunk_mask) inside the window using GLOBAL chunk
+        # ids: no frame ever attends a LATER chunk — including
+        # left-context rows, whose deeper-layer values feed the chunk
+        # region. Right-context audio still reaches the (local)
+        # convolutions, which training never masked. Global chunk of
+        # window index i is g + (i - Ls)//Cs — the additive g cancels in
+        # comparisons, so one (K, K) mask serves every stream and
+        # window position.
+        qc = (jnp.arange(k) - Ls) // Cs
+        attn_mask = qc[None, :] <= qc[:, None]
+    ccfg = dataclasses.replace(_conformer_cfg(mcfg), fused_block=False)
+    return x, mask, attn_mask, ccfg
+
+
 def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
                blank: int, causal_attention: bool,
                with_confidence: bool = False):
@@ -66,43 +108,17 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
            with_confidence)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
-    ccfg = _conformer_cfg(mcfg)
-    mel_method = acfg.mel_method if acfg.mel_method in ("fft", "dft") \
-        else "fft"
 
     @jax.jit
     def window_forward(sub_params, block_params, block_state, head,
                        wav_win, pos0, n_valid_sub):
         """wav_win (S, win_samples) — one row per stream; pos0 (S,):
         global sub index of each window's first sub frame; n_valid_sub
-        (S,): valid sub frames per window counted from the stream start
-        (frames at negative global positions — pre-stream padding of
-        early windows — are masked too, as training masks padding).
+        (S,): valid sub frames per window counted from the stream start.
         Returns each chunk region's best-path ids (S, Cs)."""
-        feats = frontend.mel_spectrogram(wav_win, acfg,
-                                         method=mel_method)   # (S, W, M)
-        x = subsampling.conv_subsample_apply(
-            sub_params, feats, compute_dtype=mcfg.dtype)      # (S, K, D)
-        s, k = x.shape[0], x.shape[1]
-        pos = pos0[:, None] + jnp.arange(k)[None, :]          # (S, K)
-        pe = nn.sinusoidal_pe_at(pos.reshape(-1), mcfg.d_model)
-        x = x.astype(jnp.float32) + pe.reshape(s, k, -1)
-        mask = (pos >= 0) & (jnp.arange(k)[None, :]
-                             < n_valid_sub[:, None])          # (S, K)
-        x = jnp.where(mask[..., None], x, 0.0).astype(mcfg.rdtype)
-        attn_mask = None
-        if causal_attention:
-            # reproduce the dynamic-chunk TRAINING pattern
-            # (trainer.make_chunk_mask) inside the window using GLOBAL
-            # chunk ids: no frame ever attends a LATER chunk — including
-            # left-context rows, whose deeper-layer values feed the chunk
-            # region. Right-context audio still reaches the (local)
-            # convolutions, which training never masked.
-            # global chunk of window index i is g + (i - Ls)//Cs — the
-            # additive g cancels in comparisons, so one (K, K) mask
-            # serves every stream and window position
-            qc = (jnp.arange(k) - Ls) // Cs
-            attn_mask = qc[None, :] <= qc[:, None]
+        x, mask, attn_mask, ccfg = _embed_window(
+            mcfg, acfg, Ls, Cs, causal_attention, sub_params, wav_win,
+            pos0, n_valid_sub)
         h, _ = conformer.stack_apply(block_params, block_state, x,
                                      mask, ccfg, train=False,
                                      attn_mask=attn_mask)
@@ -134,28 +150,14 @@ def _window_fn_all_exits(mcfg: ModelConfig, acfg: AudioConfig, Ls: int,
            causal_attention)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
-    ccfg = _conformer_cfg(mcfg)
-    mel_method = acfg.mel_method if acfg.mel_method in ("fft", "dft") \
-        else "fft"
 
     @jax.jit
     def window_forward(sub_params, block_params, block_state, heads,
                        wav_win, pos0, n_valid_sub):
         """Returns (E, S, Cs) best-path ids — one row set per exit."""
-        feats = frontend.mel_spectrogram(wav_win, acfg, method=mel_method)
-        x = subsampling.conv_subsample_apply(
-            sub_params, feats, compute_dtype=mcfg.dtype)
-        s, k = x.shape[0], x.shape[1]
-        pos = pos0[:, None] + jnp.arange(k)[None, :]
-        pe = nn.sinusoidal_pe_at(pos.reshape(-1), mcfg.d_model)
-        x = x.astype(jnp.float32) + pe.reshape(s, k, -1)
-        mask = (pos >= 0) & (jnp.arange(k)[None, :]
-                             < n_valid_sub[:, None])
-        x = jnp.where(mask[..., None], x, 0.0).astype(mcfg.rdtype)
-        attn_mask = None
-        if causal_attention:
-            qc = (jnp.arange(k) - Ls) // Cs
-            attn_mask = qc[None, :] <= qc[:, None]
+        x, mask, attn_mask, ccfg = _embed_window(
+            mcfg, acfg, Ls, Cs, causal_attention, sub_params, wav_win,
+            pos0, n_valid_sub)
         _, _, layer_outs = conformer.stack_apply(
             block_params, block_state, x, mask, ccfg, train=False,
             collect_outputs=True, attn_mask=attn_mask)
@@ -220,9 +222,9 @@ class StreamingRecognizer:
         if all_exits:
             # decode EVERY exit from one trunk pass (per-exit eval
             # contract); incompatible with slicing/gating
-            assert exit_threshold is None and n_exit is None, \
-                "all_exits decodes every exit; drop n_exit/exit_threshold"
-            self.n_exit = model_cfg.n_enc_exits
+            if exit_threshold is not None or n_exit is not None:
+                raise ValueError("all_exits decodes every exit; drop "
+                                 "n_exit/exit_threshold")
             self._sub_params = params["subsample"]
             self._block_params = params["blocks"]
             self._block_state = state["blocks"]
@@ -414,7 +416,8 @@ class StreamingRecognizer:
 
     def ids_at(self, n_exit: int) -> List[int]:
         """Per-exit ids (all_exits mode; 1-based)."""
-        assert self.all_exits
+        if not self.all_exits:
+            raise ValueError("ids_at requires all_exits=True")
         return list(self._ids_out[n_exit - 1])
 
     def transcript_at(self, n_exit: int):

@@ -172,9 +172,8 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
             rec = pool.recs[i]
             print(split, "EXPECTED:", ref.lower())
             for e in range(n_out):
-                ids = rec.ids_at(e + 1) if not gated else rec.ids
-                hyp = (tokenizer.decode(ids) if tokenizer
-                       else " ".join(map(str, ids))).strip().lower()
+                hyp = (rec.transcript_at(e + 1) if not gated
+                       else rec.transcript).strip().lower()
                 if lex is not None:
                     hyp = lex.apply(hyp)
                 label = e + 1 if not gated else n_exit
