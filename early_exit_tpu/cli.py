@@ -132,9 +132,17 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["batch", "group"])
     p.add_argument("--length_mode", type=str, default="reference",
                    choices=["reference", "true"])
-    p.add_argument("--ctc_compat_padded_lengths", type=_bool, default=True,
+    p.add_argument("--ctc_compat_padded_lengths", type=_bool,
+                   default=False,
                    help="Reference quirk train.py:57-58: feed the padded "
-                        "frame count as CTC input length.")
+                        "frame count as CTC input length. Default OFF "
+                        "(true per-item lengths): counting padding as "
+                        "valid CTC input lets deep exits park tokens in "
+                        "padding frames and collapse when batches carry "
+                        "real padding (measured: exit-2 WER 200% -> 0% "
+                        "on the rehearsal corpus, BENCH_NOTES.md); "
+                        "enable only for bit-parity debugging against "
+                        "the reference.")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh size (default: all devices).")
     p.add_argument("--tp", type=int, default=1,

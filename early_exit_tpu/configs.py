@@ -75,7 +75,10 @@ class TrainConfig:
     decoder_mode: str = "ctc"            # ctc | aed
     aed_ce_weight: float = 0.7
     aed_ctc_weight: float = 0.3
-    ctc_compat_padded_lengths: bool = True   # reference quirk train.py:57-58
+    # reference quirk train.py:57-58 (padded CTC input lengths) —
+    # default OFF: it destabilises deep exits on padded batches
+    # (BENCH_NOTES.md); enable for reference-parity debugging only
+    ctc_compat_padded_lengths: bool = False
     fast_rng: bool = True     # rbg PRNG for dropout masks (much faster on TPU)
     # self-distillation: KL(stop_grad(softmax(deepest exit)) || exit e)
     # added per earlier exit — implements the reference's reserved
