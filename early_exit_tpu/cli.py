@@ -139,7 +139,7 @@ def get_parser() -> argparse.ArgumentParser:
                         "(true per-item lengths): counting padding as "
                         "valid CTC input lets deep exits park tokens in "
                         "padding frames and collapse when batches carry "
-                        "real padding (measured: exit-2 WER 200% -> 0% "
+                        "real padding (measured: exit-2 WER 200%% -> 0%% "
                         "on the rehearsal corpus, BENCH_NOTES.md); "
                         "enable only for bit-parity debugging against "
                         "the reference.")
@@ -200,11 +200,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming_chunk_s", type=float, default=1.0)
     p.add_argument("--streaming_left_s", type=float, default=3.0)
     p.add_argument("--streaming_right_s", type=float, default=0.5)
-    p.add_argument("--streaming_causal", type=_bool, default=True,
+    p.add_argument("--streaming_causal", type=str, default="auto",
+                   choices=["auto", "true", "false"],
                    help="Use the dynamic-chunk attention pattern inside "
-                        "streaming windows (matches "
-                        "--dynamic_chunk_training; also near-lossless "
-                        "for vanilla checkpoints, BENCH_NOTES.md).")
+                        "streaming windows. auto (default) follows "
+                        "--dynamic_chunk_training, so a vanilla "
+                        "full-attention checkpoint is evaluated with "
+                        "the mask it was trained with and its WER stays "
+                        "comparable to the batch path.")
     p.add_argument("--dynamic_chunk_training", type=_bool, default=False,
                    help="Sample a chunked self-attention mask per step "
                         "(50%% full attention) so one model serves both "

@@ -65,6 +65,7 @@ class Pipeline:
         # so a thread pool scales like the reference's worker processes
         # (data.py:27 num_workers)
         self.workers = max(workers, 1)
+        self._clip_warned = False
         self._mel = _jit_mel(audio_cfg.n_fft, audio_cfg.win_length,
                              audio_cfg.hop_length, audio_cfg.n_mels,
                              audio_cfg.sample_rate, audio_cfg.mel_method)
@@ -104,8 +105,18 @@ class Pipeline:
         label_len = np.zeros((nb,), np.int32)
         for j, (w, ids, _) in enumerate(items):
             w = w[:samples_b]
-            wav[j, :len(w)] = np.clip(np.asarray(w, np.float32) * 32768.0,
-                                      -32768, 32767).astype(np.int16)
+            scaled = np.asarray(w, np.float32) * 32768.0
+            if not self._clip_warned and (scaled.size and
+                                          (scaled.max() > 32767.0 or
+                                           scaled.min() < -32768.0)):
+                # the int16 wire format is lossless for 16-bit sources;
+                # non-normalized float audio outside [-1, 1) clips here
+                print("warning: waveform samples outside [-1, 1) clipped "
+                      "by the int16 wire format (normalize the source "
+                      "audio); further clips are silent")
+                self._clip_warned = True
+            wav[j, :len(w)] = np.clip(scaled, -32768, 32767
+                                      ).astype(np.int16)
             n_samples[j] = len(w)
             ids = ids[:l_b]
             labels[j, :len(ids)] = ids

@@ -160,12 +160,21 @@ def greedy_decode(log_probs: jax.Array, lengths: jax.Array, *,
     pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1   # (B, T)
     n_tokens = jnp.sum(keep, axis=1)
     scatter_pos = jnp.where(keep, pos, T)                  # dump discards
-    onehot = (scatter_pos[:, :, None] ==
-              jnp.arange(T)[None, None, :])                # (B, T, T')
-    vals = jnp.where(keep, best, 0).astype(jnp.float32)    # ids exact <2^24
-    out = jnp.einsum("bt,btp->bp", vals, onehot.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    out = out.astype(best.dtype)
+    if T <= 1024:
+        # the (B, T, T) one-hot is quadratic in T — fine here, and the
+        # batched matmul runs on the MXU in tens of microseconds
+        onehot = (scatter_pos[:, :, None] ==
+                  jnp.arange(T)[None, None, :])            # (B, T, T')
+        vals = jnp.where(keep, best, 0).astype(jnp.float32)  # ids < 2^24
+        out = jnp.einsum("bt,btp->bp", vals, onehot.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        out = out.astype(best.dtype)
+    else:
+        # long-T fallback: O(B·T) scatter instead of an O(B·T²) one-hot
+        # (B=128, T=1500 would materialize >1 GB above)
+        vals = jnp.where(keep, best, 0)
+        out = jnp.zeros((B, T), best.dtype).at[
+            jnp.arange(B)[:, None], scatter_pos].set(vals, mode="drop")
     if blank != 0:   # unfilled output slots must read as blank
         filled = jnp.arange(T)[None, :] < n_tokens[:, None]
         out = jnp.where(filled, out, blank)

@@ -194,6 +194,12 @@ class StreamingRecognizer:
         right-context audio still feeds the convolutions) — use with
         checkpoints trained that way, left_s = chunk_left_context ×
         chunk_s.
+
+    Input precision note: this path consumes float waveforms as given,
+    while the training pipeline ships int16-quantized audio (-96 dB
+    quantization, lossless for 16-bit sources — data/pipeline.py). For
+    16-bit-origin audio the two are identical; synthetic float audio
+    differs below the quantization floor.
     """
 
     def __init__(self, params, state, model_cfg: ModelConfig,

@@ -141,6 +141,49 @@ class SentencePieceBPE:
                                           + symbols[best_i + 1]]
         return symbols
 
+    def _bpe_merge_dropout(self, chars: List[str], alpha: float,
+                           rng) -> List[str]:
+        """BPE-dropout merge (sentencepiece SampleEncode for BPE,
+        bpe_model.cc:38-118): agenda-ordered merging — (score desc,
+        leftmost first) — where each popped merge candidate is skipped
+        with probability `alpha`. A skipped occurrence is only retried
+        if a neighboring merge re-forms the pair."""
+        import heapq
+
+        n = len(chars)
+        if n <= 1:
+            return list(chars)
+        piece = list(chars)          # piece[i] == "" -> slot i merged away
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        heap: List[tuple] = []
+
+        def maybe_push(l: int, r: int):
+            fused = piece[l] + piece[r]
+            s = self.vocab_score.get(fused)
+            if s is not None:
+                heapq.heappush(heap, (-s, l, r, fused))
+
+        for i in range(n - 1):
+            maybe_push(i, i + 1)
+        while heap:
+            negs, l, r, fused = heapq.heappop(heap)
+            if (not piece[l] or not piece[r] or nxt[l] != r
+                    or piece[l] + piece[r] != fused):
+                continue             # stale agenda entry
+            if alpha > 0 and rng.random() < alpha:
+                continue             # dropout: skip this merge
+            piece[l] = fused
+            piece[r] = ""
+            nxt[l] = nxt[r]
+            if nxt[r] >= 0:
+                prv[nxt[r]] = l
+            if prv[l] >= 0:
+                maybe_push(prv[l], l)
+            if nxt[l] >= 0:
+                maybe_push(l, nxt[l])
+        return [p for p in piece if p]
+
     def encode_as_pieces(self, text: str) -> List[str]:
         norm = self._normalize(text)
         pieces: List[str] = []
@@ -151,6 +194,31 @@ class SentencePieceBPE:
                 pieces.extend(self._bpe_merge(list(chunk)))
         return pieces
 
+    def sample_encode_as_pieces(self, text: str, alpha: float = 0.1,
+                                rng=None) -> List[str]:
+        """Subword regularization for BPE = BPE-dropout: each merge is
+        skipped with probability alpha (sentencepiece's
+        SampleEncodeAsPieces(text, nbest_size, alpha) ignores nbest_size
+        for BPE and uses alpha as the dropout rate)."""
+        if rng is None:
+            import random as _random
+            rng = _random
+        norm = self._normalize(text)
+        pieces: List[str] = []
+        for chunk, is_ud in self._split_user_defined(norm):
+            if is_ud:
+                pieces.append(chunk)
+            else:
+                pieces.extend(
+                    self._bpe_merge_dropout(list(chunk), alpha, rng))
+        return pieces
+
+    def nbest_encode_as_pieces(self, text: str, nbest: int
+                               ) -> List[tuple[List[str], float]]:
+        raise NotImplementedError(
+            "NBestEncode is not available for BPE models "
+            "(sentencepiece parity: BPEModel has no NBestEncode)")
+
     def encode_as_ids(self, text: str) -> List[int]:
         out = []
         for p in self.encode_as_pieces(text):
@@ -158,8 +226,20 @@ class SentencePieceBPE:
             out.append(self.unk_id_ if pid is None else pid)
         return out
 
-    def encode(self, text: str) -> List[int]:
-        return self.encode_as_ids(text)
+    def _pieces_to_ids(self, pieces: List[str]) -> List[int]:
+        return [self.piece_to_id.get(p, self.unk_id_) for p in pieces]
+
+    def encode(self, text: str, *, nbest_size: int = 0,
+               alpha: float = 0.1, rng=None) -> List[int]:
+        """`nbest_size`/`alpha` follow the sentencepiece python API:
+        nbest_size 0/1 -> deterministic encode; otherwise a sampled
+        segmentation (BPE: BPE-dropout with rate alpha; unigram:
+        sampled from the nbest_size best segmentations, or the full
+        lattice when nbest_size < 0 — see spm.py)."""
+        if nbest_size in (0, 1):
+            return self.encode_as_ids(text)
+        return self._pieces_to_ids(
+            self.sample_encode_as_pieces(text, alpha, rng))
 
     # -- decoding ---------------------------------------------------------
     def decode_pieces(self, pieces: List[str]) -> str:

@@ -74,7 +74,11 @@ class Charsmap:
             node_pos = pos ^ ((unit >> 10) << ((unit & 0x200) >> 6))
             if unit & _HAS_LEAF:
                 off = self._value_at(node_pos)
-                end = self.pool.index(b"\0", off)
+                # malformed/truncated blob may lack the NUL terminator:
+                # clamp to pool end like the C++ reader (charsmap.h)
+                end = self.pool.find(b"\0", off)
+                if end < 0:
+                    end = len(self.pool)
                 best = (i - start + 1, self.pool[off:end])
         return best
 

@@ -7,7 +7,8 @@ whole pipeline is one jitted, shardable function of a TrainState pytree.
 
 Quirk parity: the reference feeds the PADDED frame count as the CTC input
 length for every item (train.py:57-58). `ctc_compat_padded_lengths=True`
-(default) reproduces that; False uses true per-item subsampled lengths.
+reproduces that; the default (False, configs.py) uses true per-item
+subsampled lengths — the quirk collapses deep exits on padded batches.
 """
 
 from __future__ import annotations

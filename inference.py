@@ -150,7 +150,9 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
         kw = dict(chunk_s=args.streaming_chunk_s,
                   left_s=args.streaming_left_s,
                   right_s=args.streaming_right_s,
-                  causal_attention=args.streaming_causal)
+                  causal_attention=(args.dynamic_chunk_training
+                                    if args.streaming_causal == "auto"
+                                    else args.streaming_causal == "true"))
         if gated:
             kw["exit_threshold"] = float(args.exit_threshold)
         else:

@@ -101,3 +101,26 @@ def test_greedy_decode():
     # length masking: only first 4 frames -> [2]
     toks, n = ctc.greedy_decode(jnp.asarray(lp), jnp.asarray([4]))
     assert int(n[0]) == 1 and int(toks[0, 0]) == 2
+
+
+def test_greedy_decode_long_t_scatter_path():
+    """T > 1024 takes the O(B*T) scatter fallback (ADVICE r2: the one-hot
+    compaction matmul is quadratic in T); must match the matmul path."""
+    rng = np.random.RandomState(7)
+    B, T, V, blank = 3, 1500, 8, 0
+    lp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(B, T, V).astype(np.float32)), axis=-1))
+    lengths = np.asarray([T, 700, 1201])
+    toks, n = ctc.greedy_decode(jnp.asarray(lp), jnp.asarray(lengths))
+    # host oracle
+    for b in range(B):
+        ids = lp[b, :lengths[b]].argmax(-1)
+        ref, prev = [], -1
+        for i in ids:
+            if i != blank and i != prev:
+                ref.append(int(i))
+            prev = int(i)
+        assert int(n[b]) == len(ref)
+        np.testing.assert_array_equal(np.asarray(toks[b, :len(ref)]), ref)
+        # padding reads as blank
+        assert np.all(np.asarray(toks[b, len(ref):]) == blank)

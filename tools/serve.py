@@ -48,7 +48,7 @@ import numpy as np  # noqa: E402
 
 def _pop_extra(argv):
     extra = {"--port": 7070, "--chunk_s": 1.0, "--left_s": 3.0,
-             "--right_s": 0.5, "--causal_attention": 1.0,
+             "--right_s": 0.5, "--causal_attention": 0.0,
              "--n_exit": None}
     for k in list(extra):
         if k in argv:
@@ -192,7 +192,7 @@ def selftest():
     params, mstate = model.init(jax.random.PRNGKey(args.seed), mcfg)
     rec = StreamingRecognizer(params, mstate, mcfg, acfg, tok,
                               chunk_s=0.5, left_s=1.0, right_s=0.2,
-                              causal_attention=True)   # the server default
+                              causal_attention=False)  # the server default
     rec.accept_waveform(pcm.astype(np.float32) / 32768.0)
     rec.finish()
     assert final[0]["ids"] == rec.ids, (final[0]["ids"], rec.ids)

@@ -93,7 +93,16 @@ def train(sents: list[list[str]], order: int, discount: float = 0.75):
         for ctx, succ in successors.items():
             reserved = discount * len(succ) / ctx_count[ctx]
             covered = sum(prob_of(ng[1:]) for ng in succ)
-            bow = reserved / max(1.0 - covered, 1e-12)
+            leftover = 1.0 - covered
+            if leftover < 1e-9:
+                # degenerate corpus: the lower order assigns ~all mass to
+                # this context's successors, so reserved/leftover blows
+                # up; cap at 1 to keep the distribution proper
+                print(f"warning: backoff for context {ctx} clamped "
+                      f"(lower-order coverage {covered:.6f})")
+                bow = min(reserved, 1.0)
+            else:
+                bow = reserved / leftover
             ent = tables[n - 1].get(ctx)
             if ent is None:     # e.g. (<s>,) contexts for n=3
                 ent = tables[n - 1].setdefault(ctx, [LOG10_MIN, None])
