@@ -39,12 +39,24 @@ struct Decoder {
   const eet_lm::ArpaLM* lm = nullptr;
   float lm_weight = 0.f;
   std::vector<int> lex2lm;       // lexicon word_id -> LM word id (-1 OOV)
+  // tokens used by at least one lexicon word; every other token is
+  // "silence-like": the acoustic model may emit it (<s>, </s>, <pad> —
+  // CTC targets include bos/eos, so converged models emit them peaked
+  // at utterance edges) but no word can explain it. Such tokens are
+  // consumable at word boundaries without producing output, the
+  // generalization of flashlight's sil_token (the reference passes
+  // sil_token="<pad>", util/beam_infer.py:65). Without this, every
+  // hypothesis pays the near -inf blank log-prob at <s>/</s>-peaked
+  // frames and junk short words become cheaper than blanks there.
+  std::vector<char> in_lexicon;
 
   Decoder() { nodes.emplace_back(); }
 
   void add_word(const int* toks, int n, int word_id) {
     int cur = 0;
     for (int i = 0; i < n; ++i) {
+      if (toks[i] >= 0 && toks[i] < int(in_lexicon.size()))
+        in_lexicon[toks[i]] = 1;
       auto it = nodes[cur].children.find(toks[i]);
       if (it == nodes[cur].children.end()) {
         nodes[cur].children.emplace(toks[i], int(nodes.size()));
@@ -176,8 +188,15 @@ int decode_nbest(const Decoder& dec, const float* logp, int T, int V,
   std::unordered_map<HypKey, float, HypKeyHash> merged;
   std::vector<Hyp> next;
 
+  // silence-like tokens (see Decoder::in_lexicon)
+  std::vector<int> sil_toks;
+  for (int v = 0; v < V && v < int(dec.in_lexicon.size()); ++v)
+    if (!dec.in_lexicon[v] && v != blank) sil_toks.push_back(v);
+
   for (int t = 0; t < T; ++t) {
     const float* lp = logp + size_t(t) * V;
+    float lp_max = -INFINITY;
+    for (int v = 0; v < V; ++v) lp_max = std::max(lp_max, lp[v]);
     merged.clear();
     next.clear();
     auto emit = [&](const Hyp& h) {
@@ -198,6 +217,15 @@ int decode_nbest(const Decoder& dec, const float* logp, int T, int V,
       if (h.prev_tok >= 0 && !h.blank)
         emit(Hyp{h.node, h.prev_tok, false, h.score + lp[h.prev_tok],
                  h.words, h.lm_state});
+      // 2b) silence-like tokens at word boundaries: consumed, no output
+      // (pruned against the frame max — far-below-max sil emissions
+      // cannot survive the beam threshold anyway)
+      if (h.node == 0)
+        for (int s : sil_toks) {
+          if (s == h.prev_tok && !h.blank) continue;  // rule 2 covers
+          if (lp[s] < lp_max - beam_threshold) continue;
+          emit(Hyp{0, s, false, h.score + lp[s], h.words, h.lm_state});
+        }
       // 3) advance the trie
       for (const auto& kv : dec.nodes[h.node].children) {
         int tok = kv.first;
@@ -288,6 +316,7 @@ extern "C" {
 void* eet_trie_create(int vocab) {
   auto* d = new Decoder();
   d->vocab = vocab;
+  d->in_lexicon.assign(std::max(vocab, 0), 0);
   return d;
 }
 
