@@ -119,7 +119,16 @@ inline bool load_word_counts(const char* corpus_path,
   std::ifstream f(corpus_path);
   if (!f) return false;
   std::string line;
+  bool first = true;
   while (std::getline(f, line)) {
+    if (first) {
+      // strip a UTF-8 BOM (the vendored normalizer maps U+FEFF away)
+      if (line.size() >= 3 && (unsigned char)line[0] == 0xEF &&
+          (unsigned char)line[1] == 0xBB && (unsigned char)line[2] == 0xBF)
+        line.erase(0, 3);
+      first = false;
+    }
+    if (!line.empty() && line.back() == '\r') line.pop_back();
     if constexpr (!std::is_same_v<CM, int>) {
       if (charsmap) line = charsmap->normalize_text(line);
     }

@@ -30,9 +30,12 @@ namespace {
 using eet_spm::TrainedPiece;
 using eet_spm::to_chars;
 
-constexpr size_t kMaxPieceChars = 8;     // seed substring window (chars)
-constexpr double kPruneKeep = 0.75;      // fraction kept per prune round
+constexpr size_t kMaxPieceChars = 16;    // max piece length in chars
+                                         // (spm max_sentencepiece_length)
+constexpr double kPruneKeep = 0.75;      // shrinking_factor per prune round
 constexpr int kEmIters = 2;              // EM sub-iterations per round
+constexpr double kMinExpected = 0.5;     // M-step expected-count filter
+constexpr double kCharCoverage = 0.9995; // character_coverage
 
 struct Word {
   std::vector<std::string> chars;
@@ -46,15 +49,40 @@ double logsumexp(double a, double b) {
   return hi + std::log(std::exp(a - hi) + std::exp(b - hi));
 }
 
+// digamma(x) via the standard recurrence + asymptotic series (the
+// Bayesianified M-step uses exp(digamma(c)) in place of c, acting as a
+// sparse prior — unigram_model_trainer.cc RunMStep).
+double digamma(double x) {
+  double acc = 0.0;
+  while (x < 7.0) {
+    acc -= 1.0 / x;
+    x += 1.0;
+  }
+  x -= 0.5;
+  const double inv = 1.0 / x;
+  const double inv2 = inv * inv;
+  const double inv4 = inv2 * inv2;
+  acc += std::log(x) + inv2 / 24.0 - inv4 * (7.0 / 960.0) +
+         inv4 * inv2 * (31.0 / 8064.0) - inv4 * inv4 * (127.0 / 30720.0);
+  return acc;
+}
+
 struct UnigramTrainer {
   std::vector<Word> words;
   std::unordered_map<std::string, double> logp;  // current vocabulary
-  std::set<std::string> required;                // single chars, never pruned
+  std::set<std::string> required;   // chars inside character_coverage
   size_t max_chars = 1;
 
+  // Exact repeated-substring seeding. The vendored trainer enumerates
+  // repeated substrings with an enhanced suffix array (esaxx) over the
+  // boundary-joined corpus; since our word list is deduplicated with
+  // frequencies and pieces are capped at kMaxPieceChars, per-word hash
+  // enumeration yields the identical candidate set (exact corpus counts,
+  // freq >= 2, score = freq * chars) without the SA machinery.
   void seed(int target_pieces) {
-    // candidate substrings scored by freq * char-length
     std::unordered_map<std::string, int64_t> cand;
+    std::unordered_map<std::string, int64_t> char_freq;
+    int64_t char_total = 0;
     for (const auto& w : words) {
       size_t n = w.chars.size();
       for (size_t i = 0; i < n; ++i) {
@@ -63,16 +91,44 @@ struct UnigramTrainer {
           s += w.chars[j];
           cand[s] += w.freq;
         }
+        char_freq[w.chars[i]] += w.freq;
+        char_total += w.freq;
       }
-      for (const auto& c : w.chars) required.insert(c);
     }
-    size_t seed_size = std::max<size_t>(size_t(target_pieces) * 8, 1024);
+    // character_coverage: the most frequent chars covering 99.95% of
+    // occurrences are required; the rare tail is dropped (encodes to
+    // unk), matching the spm_train default.
+    {
+      std::vector<std::pair<int64_t, std::string>> by_freq;
+      by_freq.reserve(char_freq.size());
+      for (const auto& kv : char_freq)
+        by_freq.emplace_back(kv.second, kv.first);
+      std::sort(by_freq.begin(), by_freq.end(),
+                [](const auto& a, const auto& b) {
+                  return a.first != b.first ? a.first > b.first
+                                            : a.second < b.second;
+                });
+      int64_t acc = 0;
+      for (const auto& fv : by_freq) {
+        if (double(acc) >= kCharCoverage * double(char_total)) break;
+        required.insert(fv.second);
+        acc += fv.first;
+      }
+    }
+    size_t seed_size = 1000000;   // spm seed_sentencepiece_size default
     std::vector<std::pair<double, std::string>> scored;
     scored.reserve(cand.size());
     for (auto& kv : cand) {
-      size_t chars = to_chars(kv.first).size();
-      if (chars < 2) continue;           // single chars added below
-      scored.emplace_back(double(kv.second) * double(chars), kv.first);
+      auto chars = to_chars(kv.first);
+      if (chars.size() < 2) continue;    // single chars added below
+      if (kv.second < 2) continue;       // repeated substrings only (ESA
+                                         // internal nodes have freq >= 2)
+      bool covered = true;
+      for (const auto& c : chars)
+        if (!required.count(c)) { covered = false; break; }
+      if (!covered) continue;
+      scored.emplace_back(double(kv.second) * double(chars.size()),
+                          kv.first);
     }
     std::sort(scored.begin(), scored.end(),
               [](const auto& a, const auto& b) {
@@ -83,23 +139,20 @@ struct UnigramTrainer {
 
     double total = 0;
     for (const auto& sv : scored) total += sv.first;
-    for (const auto& c : required) {
-      auto it = cand.find(c);
-      total += it == cand.end() ? 1.0 : double(it->second);
-    }
+    for (const auto& c : required) total += double(char_freq[c]);
     for (const auto& sv : scored)
       logp[sv.second] = std::log(sv.first / total);
-    for (const auto& c : required) {
-      auto it = cand.find(c);
-      double f = it == cand.end() ? 1.0 : double(it->second);
-      logp[c] = std::log(f / total);
-    }
+    for (const auto& c : required)
+      logp[c] = std::log(double(char_freq[c]) / total);
     for (const auto& kv : logp)
       max_chars = std::max(max_chars, to_chars(kv.first).size());
   }
 
-  // One EM iteration; returns expected piece counts (the E-step) already
-  // folded into new probabilities (the M-step).
+  // One EM iteration: forward-backward expected counts (E), then the
+  // Bayesianified M-step — drop pieces with expected count < 0.5 and set
+  // logp = digamma(c) - digamma(sum), a sparse prior (RunMStep).
+  // Required single chars are exempt from the drop so every covered word
+  // stays encodable mid-training (spm re-adds them at finalize instead).
   void em_step() {
     std::unordered_map<std::string, double> counts;
     for (const auto& w : words) {
@@ -120,8 +173,7 @@ struct UnigramTrainer {
             alpha[j] = logsumexp(alpha[j], alpha[i] + it->second);
         }
       double z = alpha[n];
-      if (z == -HUGE_VAL) continue;      // unencodable (cannot happen
-                                         // while single chars survive)
+      if (z == -HUGE_VAL) continue;      // word outside char coverage
       beta[n] = 0.0;
       for (size_t i = n; i-- > 0;)
         for (size_t j = i + 1; j <= std::min(n, i + max_chars); ++j) {
@@ -141,80 +193,180 @@ struct UnigramTrainer {
         }
       }
     }
-    double total = 0;
-    for (const auto& kv : counts) total += kv.second;
-    if (total <= 0) return;
-    std::unordered_map<std::string, double> next;
+    std::unordered_map<std::string, double> kept;
+    double sum = 0;
     for (const auto& kv : logp) {
       auto it = counts.find(kv.first);
-      // unused pieces get a floor instead of -inf so pruning can rank them
-      double c = it == counts.end() ? 1e-6 : std::max(it->second, 1e-6);
-      next[kv.first] = std::log(c / total);
+      double c = it == counts.end() ? 0.0 : it->second;
+      if (c < kMinExpected) {
+        if (!required.count(kv.first)) continue;
+        c = kMinExpected;                // floor for required chars
+      }
+      kept[kv.first] = c;
+      sum += c;
     }
+    if (kept.empty() || sum <= 0) return;
+    const double logz = digamma(sum);
+    std::unordered_map<std::string, double> next;
+    for (const auto& kv : kept)
+      next[kv.first] = digamma(kv.second) - logz;
     logp.swap(next);
+    max_chars = 1;
+    for (const auto& kv : logp)
+      max_chars = std::max(max_chars, to_chars(kv.first).size());
   }
 
-  // Viterbi segmentation score of `surface` using the current vocabulary,
-  // excluding the piece equal to the full surface (its pruning alternative).
-  double alt_score(const std::string& surface) {
-    auto chars = to_chars(surface);
+  // Viterbi segmentation of `surface` under the current vocabulary.
+  // skip_self: exclude the piece spanning the whole surface (to find the
+  // best ALTERNATIVE segmentation, PruneSentencePieces' 2-best).
+  std::vector<std::string> viterbi(const std::vector<std::string>& chars,
+                                   bool skip_self) {
     size_t n = chars.size();
     std::vector<std::string> prefix(n + 1);
     for (size_t i = 0; i < n; ++i) prefix[i + 1] = prefix[i] + chars[i];
     std::vector<double> best(n + 1, -HUGE_VAL);
+    std::vector<size_t> back(n + 1, 0);
     best[0] = 0.0;
     for (size_t j = 1; j <= n; ++j)
       for (size_t i = j > max_chars ? j - max_chars : 0; i < j; ++i) {
         if (best[i] == -HUGE_VAL) continue;
-        if (i == 0 && j == n) continue;  // the piece itself
+        if (skip_self && i == 0 && j == n) continue;
         auto it = logp.find(prefix[j].substr(prefix[i].size()));
-        if (it != logp.end())
-          best[j] = std::max(best[j], best[i] + it->second);
+        if (it != logp.end() && best[i] + it->second > best[j]) {
+          best[j] = best[i] + it->second;
+          back[j] = i;
+        }
       }
-    return best[n];
+    std::vector<std::string> out;
+    if (best[n] == -HUGE_VAL) return out;
+    for (size_t j = n; j > 0; j = back[j])
+      out.push_back(prefix[j].substr(prefix[back[j]].size()));
+    std::reverse(out.begin(), out.end());
+    return out;
   }
 
-  void prune_to(size_t target) {
-    while (logp.size() > target) {
-      for (int e = 0; e < kEmIters; ++e) em_step();
-      // rank multi-char pieces by how much likelihood their removal costs:
-      // usage-weighted gap between the piece's own logp and its best
-      // alternative segmentation
-      std::vector<std::pair<double, std::string>> loss;
-      for (const auto& kv : logp) {
-        if (required.count(kv.first)) continue;
-        double alt = alt_score(kv.first);
-        // usage-weighted likelihood loss: exp(logp) is the piece's usage
-        // share, (logp - alt) the per-use cost of segmenting it instead
-        double l = alt == -HUGE_VAL
-                       ? HUGE_VAL
-                       : std::exp(kv.second) * (kv.second - alt);
-        loss.emplace_back(l, kv.first);
+  // One prune round (PruneSentencePieces): rank pieces by the corpus
+  // likelihood lost if each is removed and its occurrences re-segmented
+  // into its best alternative; keep the top shrinking_factor fraction
+  // (never below `floor_size`).
+  void prune_round(size_t floor_size) {
+    // 1) each piece's best alternative segmentation of itself
+    std::unordered_map<std::string, std::vector<std::string>> alts;
+    std::vector<std::string> order;
+    order.reserve(logp.size());
+    for (const auto& kv : logp) order.push_back(kv.first);
+    std::sort(order.begin(), order.end());
+    for (const auto& p : order) {
+      auto chars = to_chars(p);
+      if (chars.size() < 2) continue;    // single chars handled via freq
+      // if the piece's own Viterbi splits, it can be removed freely;
+      // otherwise its 2nd-best (self-excluded Viterbi) is the alternative
+      auto self_best = viterbi(chars, /*skip_self=*/false);
+      if (self_best.size() >= 2) {
+        alts[p] = {};                    // removable at zero modelled cost
+      } else {
+        alts[p] = viterbi(chars, /*skip_self=*/true);
       }
-      if (loss.empty()) break;
-      std::sort(loss.begin(), loss.end(), [](const auto& a, const auto& b) {
-        return a.first != b.first ? a.first > b.first : a.second < b.second;
-      });
-      size_t keep = std::max(
-          target > required.size() ? target - required.size() : 0,
-          size_t(double(loss.size()) * kPruneKeep));
-      if (keep >= loss.size()) keep = loss.size() - 1;
-      for (size_t k = keep; k < loss.size(); ++k)
-        logp.erase(loss[k].second);
     }
-    for (int e = 0; e < kEmIters; ++e) em_step();
+    // 2) Viterbi-segment the corpus: piece frequencies + per-piece
+    //    occurrence mass (F)
+    std::unordered_map<std::string, double> vfreq;
+    std::unordered_map<std::string, double> fmass;
+    double vsum = 0;
+    for (const auto& w : words) {
+      auto segs = viterbi(w.chars, false);
+      vsum += double(w.freq);
+      for (const auto& s : segs) {
+        vfreq[s] += double(w.freq);
+        fmass[s] += double(w.freq);
+      }
+    }
+    double sum = 0;
+    for (const auto& kv : vfreq) sum += kv.second;
+    const double logsum = std::log(std::max(sum, 1e-9));
+    // 3) removal loss per piece
+    std::vector<std::pair<double, std::string>> candidates;
+    std::vector<std::string> keep_always;
+    for (const auto& p : order) {
+      auto chars = to_chars(p);
+      if (chars.size() < 2) {
+        keep_always.push_back(p);        // required/single chars
+        continue;
+      }
+      auto ai = alts.find(p);
+      double f = vfreq.count(p) ? vfreq[p] : 0.0;
+      if (f == 0.0 || (ai != alts.end() && ai->second.empty() &&
+                       viterbi(chars, false).size() >= 2)) {
+        // unused on the Viterbi paths, or freely re-segmentable: drop
+        continue;
+      }
+      if (ai == alts.end() || ai->second.empty()) {
+        keep_always.push_back(p);        // no alternative: must keep
+        continue;
+      }
+      const auto& alt = ai->second;
+      double F = (fmass.count(p) ? fmass[p] : 0.0) / std::max(vsum, 1e-9);
+      double logprob_sp = std::log(f) - logsum;
+      double logsum_alt =
+          std::log(sum + f * double(alt.size() ? alt.size() - 1 : 0));
+      double logprob_alt = 0;
+      for (const auto& a : alt)
+        logprob_alt +=
+            std::log((vfreq.count(a) ? vfreq[a] : 0.0) + f) - logsum_alt;
+      candidates.emplace_back(F * (logprob_sp - logprob_alt), p);
+    }
+    std::sort(candidates.begin(), candidates.end(),
+              [](const auto& a, const auto& b) {
+                return a.first != b.first ? a.first > b.first
+                                          : a.second < b.second;
+              });
+    size_t pruned_size = std::max(
+        floor_size, size_t(kPruneKeep * double(logp.size())));
+    std::unordered_map<std::string, double> next;
+    for (const auto& p : keep_always) next.emplace(p, logp[p]);
+    for (const auto& c : candidates) {
+      if (next.size() >= pruned_size) break;
+      next.emplace(c.second, logp[c.second]);
+    }
+    logp.swap(next);
+    max_chars = 1;
+    for (const auto& kv : logp)
+      max_chars = std::max(max_chars, to_chars(kv.first).size());
   }
 
   std::vector<std::pair<std::string, float>> train(int target_pieces) {
     seed(target_pieces);
-    if (int(logp.size()) > target_pieces)
-      prune_to(size_t(target_pieces));
-    else
-      for (int e = 0; e < 2 * kEmIters; ++e) em_step();
+    // spm: shrink to desired = 1.1 * vocab, then finalize to vocab
+    size_t desired = size_t(double(target_pieces) * 1.1);
+    while (true) {
+      for (int e = 0; e < kEmIters; ++e) em_step();
+      if (logp.size() <= desired) break;
+      prune_round(desired);
+    }
+    // finalize: required chars always present (re-added at min score if
+    // the EM filter dropped them), then highest-scoring pieces to target
+    double min_score = 0;
+    for (const auto& kv : logp) min_score = std::min(min_score, kv.second);
+    double penalty = 0;
     std::vector<std::pair<std::string, float>> out;
-    out.reserve(logp.size());
+    std::set<std::string> in_out;
+    for (const auto& c : required) {
+      auto it = logp.find(c);
+      double s = it != logp.end() ? it->second
+                                  : min_score + (penalty += 1e-4);
+      out.emplace_back(c, float(s));
+      in_out.insert(c);
+    }
+    std::vector<std::pair<double, std::string>> rest;
     for (const auto& kv : logp)
-      out.emplace_back(kv.first, float(kv.second));
+      if (!in_out.count(kv.first)) rest.emplace_back(kv.second, kv.first);
+    std::sort(rest.begin(), rest.end(), [](const auto& a, const auto& b) {
+      return a.first != b.first ? a.first > b.first : a.second < b.second;
+    });
+    for (const auto& sv : rest) {
+      if (int(out.size()) >= target_pieces) break;
+      out.emplace_back(sv.second, float(sv.first));
+    }
     std::sort(out.begin(), out.end(), [](const auto& a, const auto& b) {
       return a.second != b.second ? a.second > b.second
                                   : a.first < b.first;

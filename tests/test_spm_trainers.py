@@ -140,3 +140,58 @@ def test_cli_model_type_flag(corpus, tmp_path):
                         capture_output=True, text=True)
     assert r3.returncode == 1
     assert "bogus" in r3.stderr
+
+
+VENDORED_CORPUS = "/root/reference/sentencepiece/python/test/botchan.txt"
+VENDORED_MODEL = ("/root/reference/sentencepiece/python/test/"
+                  "test_model.model")
+
+
+def test_unigram_tracks_vendored_trainer(tmp_path):
+    """Trainer-output comparison (VERDICT r2 item 6): training on the
+    vendored fixture corpus (botchan.txt) must reproduce >=78% of the
+    piece set of the artifact the REAL spm_train produced from it
+    (test_model.model, vocab 1000). Pinned by the faithful semantics:
+    exact repeated-substring seeding (freq>=2, 16-char cap, seed size
+    1e6), digamma (Bayesianified) M-step with the 0.5 expected-count
+    filter, Viterbi-count prune loss with always-keep/2-best logic,
+    1.1x desired size + finalize (unigram_model_trainer.cc:207-470)."""
+    if not os.path.exists(VENDORED_CORPUS):
+        pytest.skip("vendored fixtures not mounted")
+    from early_exit_tpu.tokenizer import proto
+    prefix = str(tmp_path / "botchan_uni")
+    assert _train(VENDORED_CORPUS, prefix, 1000, 1).endswith(".model")
+    ours = proto.parse_model(prefix + ".model")
+    ref = proto.parse_model(VENDORED_MODEL)
+    op = {p.piece for p in ours.pieces if p.type == proto.NORMAL}
+    rp = {p.piece for p in ref.pieces if p.type == proto.NORMAL}
+    overlap = len(op & rp) / len(rp)
+    assert overlap >= 0.78, f"piece-set overlap {overlap:.1%}"
+    # and the trained model encodes text end to end
+    from early_exit_tpu.tokenizer.spm import load_tokenizer
+    sp = load_tokenizer(prefix + ".model", prefer_native=False)
+    pieces = sp.encode_as_pieces("I am a cat.")
+    assert pieces and sp.decode_pieces(pieces) == "I am a cat."
+
+
+def test_unigram_em_likelihood_improves(tmp_path, corpus):
+    """Self-consistency: the final model assigns the corpus a higher
+    unigram likelihood than a frequency-seeded character model — the EM
+    actually optimized something."""
+    from early_exit_tpu.tokenizer import proto
+    from early_exit_tpu.tokenizer.spm import load_tokenizer
+    prefix = str(tmp_path / "em_uni")
+    _train(corpus, prefix, 48, 1)
+    sp = load_tokenizer(prefix + ".model", prefer_native=False)
+    text = open(corpus).read().split()
+    # trained-model total Viterbi log-likelihood
+    ll_trained = 0.0
+    for w in text:
+        for p in sp.encode_as_pieces(w):
+            ll_trained += sp.vocab_score.get(p, sp.unk_score)
+    # char-baseline likelihood on the same text with char unigram probs
+    from collections import Counter
+    chars = Counter(c for w in text for c in "▁" + w)
+    tot = sum(chars.values())
+    ll_chars = sum(n * (math.log(n / tot)) for n in chars.values())
+    assert ll_trained > ll_chars

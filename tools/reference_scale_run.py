@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Reference-scale credibility run (VERDICT r2 item 3).
+
+Trains the FULL flagship config — the reference's defaults: d_model=256,
+6 exits x 2 conformer layers, ffn 2048, kernel 31, 8 heads, batch 64,
+n_batch_split 4 (/root/reference/util/conf.py:171-300) — on an
+hours-scale generated disk corpus with a realistic length distribution
+(2..28 words ~= 1..15 s, up to ~1500 mel frames), through the real
+product pipeline (FLAC corpus -> train.py -> inference.py), and reports
+the 6-exit WER ladder (greedy + lexicon beam + gated) on a >=200
+utterance held-out split, plus epoch wall times.
+
+    python tools/reference_scale_run.py --workdir /tmp/refscale \
+        --n_train 6000 --n_test 240 --epochs 12
+
+Defaults target the single real TPU chip (ambient platform); pass
+--platform cpu to keep a smoke run off the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_corpus(root: str, split: str, n_items: int, seed: int,
+                min_words: int, max_words: int) -> float:
+    """Returns total audio seconds written."""
+    from early_exit_tpu.data.flac import write_flac_verbatim
+    from early_exit_tpu.data.librispeech import SyntheticDataset
+
+    ds = SyntheticDataset(n_items=n_items, seed=seed, min_words=min_words,
+                          max_words=max_words)
+    per_chapter = 64
+    total_s = 0.0
+    for i in range(n_items):
+        utt = ds[i]
+        spk, chap = "1001", f"{i // per_chapter:04d}"
+        cdir = os.path.join(root, "LibriSpeech", split, spk, chap)
+        os.makedirs(cdir, exist_ok=True)
+        stem = f"{spk}-{chap}-{i % per_chapter:04d}"
+        fp = os.path.join(cdir, stem + ".flac")
+        if not os.path.exists(fp):
+            write_flac_verbatim(fp, utt.waveform, utt.sample_rate)
+        with open(os.path.join(cdir, f"{spk}-{chap}.trans.txt"), "a",
+                  encoding="utf-8") as f:
+            f.write(f"{stem} {utt.transcript}\n")
+        total_s += len(utt.waveform) / utt.sample_rate
+    return total_s
+
+
+def run(cmd, env, log_path=None):
+    print("+", " ".join(cmd), flush=True)
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    if log_path:
+        with open(log_path, "a", encoding="utf-8") as f:
+            f.write("+ " + " ".join(cmd) + "\n" + p.stdout + p.stderr)
+    if p.returncode != 0:
+        sys.stdout.write(p.stdout[-3000:])
+        sys.stderr.write(p.stderr[-3000:])
+        sys.exit(f"command failed (rc={p.returncode}): {' '.join(cmd)}")
+    return p.stdout
+
+
+def parse_wers(out: str, split="test-clean"):
+    return {f"exit{m[0]}": float(m[1]) for m in re.findall(
+        rf"{split} WER exit (\d+): ([0-9.]+)%", out)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/refscale")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--n_train", type=int, default=6000)
+    ap.add_argument("--n_test", type=int, default=240)
+    ap.add_argument("--min_words", type=int, default=2)
+    ap.add_argument("--max_words", type=int, default=28)
+    ap.add_argument("--seed", type=int, default=1,
+                    help="corpus + init seed (repeat runs: vary this)")
+    ap.add_argument("--platform", default=None,
+                    help="EET_PLATFORM override (default: ambient = TPU)")
+    ap.add_argument("--beam_size", type=int, default=10)
+    ap.add_argument("--exit_threshold", type=float, default=0.85)
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse an existing checkpoint in workdir")
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    help="production profile (bfloat16 matmuls / fp32 "
+                         "softmax+norms); float32 for parity debugging")
+    args = ap.parse_args()
+
+    work = args.workdir
+    corpus = os.path.join(work, "corpus")
+    moddir = os.path.join(work, f"model_seed{args.seed}")
+    log = os.path.join(work, f"log_seed{args.seed}.txt")
+    os.makedirs(corpus, exist_ok=True)
+
+    marker = os.path.join(corpus, ".done")
+    if not os.path.exists(marker):
+        print("generating corpus ...", flush=True)
+        tr_s = make_corpus(corpus, "train-clean-100", args.n_train,
+                           seed=1000 + 1, min_words=args.min_words,
+                           max_words=args.max_words)
+        te_s = make_corpus(corpus, "test-clean", args.n_test, seed=2000 + 2,
+                           min_words=args.min_words,
+                           max_words=args.max_words)
+        with open(marker, "w") as f:
+            json.dump({"train_audio_s": tr_s, "test_audio_s": te_s}, f)
+    with open(marker) as f:
+        audio = json.load(f)
+    print(f"corpus: {audio['train_audio_s']/3600:.2f} h train, "
+          f"{audio['test_audio_s']/3600:.2f} h test", flush=True)
+
+    env = dict(os.environ)
+    if args.platform:
+        env["EET_PLATFORM"] = args.platform
+
+    # reference defaults: NO architecture overrides — ModelConfig defaults
+    # ARE the reference's (d=256, 6x2, ffn 2048, k=31, 8 heads)
+    common = ["--data_root", corpus,
+              "--batch_size", "64", "--n_batch_split", "4",
+              "--n_workers", "4", "--compute_dtype", args.compute_dtype,
+              "--log_dir", os.path.join(work, "runs")]
+
+    summary = {"seed": args.seed, "epochs": args.epochs,
+               "n_train": args.n_train, "n_test": args.n_test,
+               "train_audio_h": round(audio["train_audio_s"] / 3600, 2),
+               "compute_dtype": args.compute_dtype}
+
+    if not args.skip_train:
+        train_out = run([sys.executable, os.path.join(REPO, "train.py"),
+                         "--decoder_mode", "ctc",
+                         "--n_epochs", str(args.epochs),
+                         "--seed", str(args.seed),
+                         "--save_model_dir", moddir, *common], env, log)
+        losses = [float(m) for m in re.findall(
+            r"LOSS_TOTAL-\d+ := ([0-9.]+)", train_out)]
+        epoch_s = [float(m) for m in re.findall(
+            r"LOSS_TOTAL-\d+ := [0-9.]+\s+\(([0-9.]+)s", train_out)]
+        summary["loss_first"] = losses[0]
+        summary["loss_last"] = losses[-1]
+        summary["epoch_wall_s"] = epoch_s
+        summary["steady_epoch_s"] = (sorted(epoch_s[2:])[len(epoch_s[2:])
+                                     // 2] if len(epoch_s) > 3 else None)
+
+    ckpts = sorted(f for f in os.listdir(moddir)
+                   if f.startswith("mod") and f.endswith("-transformer"))
+    ckpt = os.path.join(moddir, ckpts[-1])
+    summary["checkpoint"] = ckpt
+    infer_base = [sys.executable, os.path.join(REPO, "inference.py"),
+                  "--decoder_mode", "ctc", "--eval_splits", "test-clean",
+                  "--load_model_path", ckpt, *common]
+
+    out = run(infer_base + ["--decode", "greedy"], env, log)
+    summary["greedy_wer_pct"] = parse_wers(out)
+    n_utts = len(re.findall(r"test-clean EXPECTED:", out))
+    summary["eval_utts"] = n_utts
+
+    out = run(infer_base + ["--decode", "lexicon_beam",
+                            "--beam_size", str(args.beam_size)], env, log)
+    summary["lexicon_beam_wer_pct"] = parse_wers(out)
+
+    out = run(infer_base + ["--decode", "greedy",
+                            "--exit_threshold", str(args.exit_threshold)],
+              env, log)
+    m = re.search(r"gated WER: ([0-9.]+)% \(mean exits run ([0-9.]+)", out)
+    if m:
+        summary["gated_wer_pct"] = float(m.group(1))
+        summary["gated_mean_exits"] = float(m.group(2))
+
+    out_path = os.path.join(work, f"summary_seed{args.seed}.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
