@@ -454,6 +454,8 @@ class StreamPool:
         if kwargs.get("exit_threshold") is not None:
             shared_fast = _slice_weights(params, state, model_cfg,
                                          kwargs.get("fast_exit", 1))
+        self._ctor = (params, state, model_cfg, audio_cfg, tokenizer,
+                      shared, shared_fast, dict(kwargs))
         self.recs = [StreamingRecognizer(params, state, model_cfg,
                                          audio_cfg, tokenizer,
                                          _shared_weights=shared,
@@ -463,6 +465,18 @@ class StreamPool:
         r0 = self.recs[0]
         self._fwd = r0._window_forward
         self._K = r0.Ls + r0.Cs + r0.Rs
+
+    def reset(self, stream_id: int) -> None:
+        """Recycle one slot for a NEW stream (production churn: a
+        connection closed, another takes its place mid-round). Shared
+        sliced weights and the compiled window program are reused, so a
+        reset costs only recognizer bookkeeping — no recompilation."""
+        (params, state, model_cfg, audio_cfg, tokenizer, shared,
+         shared_fast, kwargs) = self._ctor
+        self.recs[stream_id] = StreamingRecognizer(
+            params, state, model_cfg, audio_cfg, tokenizer,
+            _shared_weights=shared, _shared_fast_weights=shared_fast,
+            **kwargs)
 
     def feed(self, stream_id: int, samples) -> None:
         """Buffer audio for one stream (no compute until poll())."""

@@ -9,6 +9,7 @@ only). Pinned here:
 - the flush path emits the stream tail.
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -311,3 +312,106 @@ def test_all_exits_stream_pool_matches_solo(model):
     for i in range(2):
         pool.finish(i)
         assert [pool.recs[i].ids_at(e) for e in (1, 2)] == solo[i]
+
+
+def test_stream_pool_churn_mixed_lengths(model):
+    """Production churn (VERDICT r2 item 8): ragged streams of different
+    lengths join and leave mid-round via reset(); every completed stream
+    (original and replacement) must match a solo recognizer bit-exact,
+    and the recycled slot must reuse the compiled window program."""
+    from early_exit_tpu.serving import StreamPool
+
+    params, state = model
+    kw = dict(chunk_s=0.5, left_s=1.0, right_s=0.2)
+
+    def solo(w):
+        rec = StreamingRecognizer(params, state, CFG, ACFG, **kw)
+        rec.accept_waveform(w)
+        rec.finish()
+        return rec.ids
+
+    first = [_wav(1.2 + 0.9 * i, seed=30 + i) for i in range(3)]
+    replacement = [_wav(2.1, seed=40), _wav(1.4, seed=41)]
+    want = {f"first{i}": solo(w) for i, w in enumerate(first)}
+    want.update({f"repl{i}": solo(w) for i, w in enumerate(replacement)})
+
+    pool = StreamPool(3, params, state, CFG, ACFG, **kw)
+    fwd_before = pool._fwd
+    got = {}
+    pieces = [list(np.array_split(w, 4)) for w in first]
+    tags = [f"first{i}" for i in range(3)]
+    repl_queue = list(zip([f"repl{i}" for i in range(len(replacement))],
+                          replacement))
+    # drive rounds: feed a piece to every live stream, poll, and when a
+    # stream runs out of audio finish it and recycle the slot
+    for _ in range(32):
+        for i in range(3):
+            if pieces[i]:
+                pool.feed(i, pieces[i].pop(0))
+        pool.poll()
+        for i in range(3):
+            if tags[i] is not None and not pieces[i]:
+                pool.finish(i)
+                got[tags[i]] = pool.recs[i].ids
+                tags[i] = None
+                if repl_queue:
+                    tag, w = repl_queue.pop(0)
+                    pool.reset(i)
+                    tags[i] = tag
+                    pieces[i] = list(np.array_split(w, 3))
+        if all(t is None for t in tags) and not repl_queue:
+            break
+    assert got == want
+    assert pool._fwd is fwd_before     # no recompilation on churn
+
+
+def test_stream_pool_churn_gated(model):
+    """Churn with the gated (fast/deep escalation) pool: recycled slots
+    still match solo gated recognizers, and escalation bookkeeping
+    stays per-stream."""
+    from early_exit_tpu.serving import StreamPool
+
+    params, state = model
+    kw = dict(chunk_s=0.5, left_s=1.0, right_s=0.2,
+              exit_threshold=0.5, fast_exit=1)
+    w_a, w_b = _wav(1.6, seed=50), _wav(1.1, seed=51)
+
+    def solo(w):
+        rec = StreamingRecognizer(params, state, CFG, ACFG, **kw)
+        rec.accept_waveform(w)
+        rec.finish()
+        return rec.ids, list(rec.exits_run)
+
+    ids_a, exits_a = solo(w_a)
+    ids_b, exits_b = solo(w_b)
+
+    pool = StreamPool(2, params, state, CFG, ACFG, **kw)
+    pool.feed(0, w_a)
+    pool.feed(1, _wav(0.9, seed=52))
+    pool.poll()
+    pool.finish(0)
+    assert pool.recs[0].ids == ids_a
+    assert pool.recs[0].exits_run == exits_a
+    pool.reset(0)
+    pool.feed(0, w_b)
+    pool.poll()
+    pool.finish(0)
+    assert pool.recs[0].ids == ids_b
+    assert pool.recs[0].exits_run == exits_b
+
+
+def test_pool_load_test_smoke():
+    """tools/pool_load_test.py --smoke: churn happens, JSON is sane."""
+    import json
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, EET_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "pool_load_test.py"),
+         "--smoke"], capture_output=True, text=True, timeout=290, env=env,
+        cwd=repo)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["churned_streams"] > 0
+    assert out["round_ms_p99"] >= out["round_ms_p50"] > 0
