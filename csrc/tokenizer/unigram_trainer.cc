@@ -424,6 +424,12 @@ int eet_spm_train(const char* corpus_path, const char* model_prefix,
                             model_type, "identity", "");
 }
 
+int eet_spm_train_blob(const char* corpus_path, const char* model_prefix,
+                       int vocab_size, int unk_id, int bos_id, int eos_id,
+                       int pad_id, const char* user_defined, int model_type,
+                       const char* norm_name, const char* blob_data,
+                       long blob_len);
+
 int eet_spm_train_norm(const char* corpus_path, const char* model_prefix,
                        int vocab_size, int unk_id, int bos_id, int eos_id,
                        int pad_id, const char* user_defined, int model_type,
@@ -435,6 +441,22 @@ int eet_spm_train_norm(const char* corpus_path, const char* model_prefix,
     blob = eet_spm::compile_charsmap(rules);
     if (blob.empty()) return 4;
   }
+  return eet_spm_train_blob(corpus_path, model_prefix, vocab_size, unk_id,
+                            bos_id, eos_id, pad_id, user_defined,
+                            model_type, norm_name, blob.data(),
+                            long(blob.size()));
+}
+
+// Variant taking a ready-made precompiled charsmap blob — e.g. the
+// GENUINE nmt_nfkc blob (224,725 rules) extracted from an existing
+// artifact's NormalizerSpec, rather than the generated rule TSVs.
+int eet_spm_train_blob(const char* corpus_path, const char* model_prefix,
+                       int vocab_size, int unk_id, int bos_id, int eos_id,
+                       int pad_id, const char* user_defined, int model_type,
+                       const char* norm_name, const char* blob_data,
+                       long blob_len) {
+  std::string blob(blob_data ? blob_data : "", size_t(std::max(blob_len,
+                                                               0L)));
   std::string nname = (norm_name && *norm_name) ? norm_name : "identity";
   if (model_type == 2)
     return eet_bpe_train_norm(corpus_path, model_prefix, vocab_size,
