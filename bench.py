@@ -210,9 +210,12 @@ def gated_bench(rt):
     wer_gated = wer_of(gated_out)
 
     # timed: amortised dispatch, one sync per mode
+    import os as _os
+    bench_iters = int(_os.environ.get("EET_BENCH_ITERS", "20"))
+
     def timed(fn, sum_idx):
         float(fn(params, state, jw[0], jn[0])[sum_idx])   # warm
-        iters = 20
+        iters = bench_iters
         t0 = time.perf_counter()
         for _ in range(iters):
             for k in range(NB):

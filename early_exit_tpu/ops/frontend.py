@@ -107,7 +107,11 @@ def _windowed_dft(n_fft: int, win_length: int):
 def _frames(wav: jax.Array, n_fft: int, hop_length: int,
             width: Optional[int] = None) -> jax.Array:
     """Centred STFT frames. width (default n_fft) crops each frame to the
-    centred width-wide span (the window's support for the DFT path)."""
+    centred width-wide span (the window's support for the DFT path).
+
+    When width is a multiple of hop (the reference's 320-in-160 layout),
+    frames are assembled from width//hop strided reshapes — pure
+    slice+reshape, no gather. The generic path is an iota gather."""
     B, N = wav.shape
     pad = n_fft // 2
     x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
@@ -115,6 +119,16 @@ def _frames(wav: jax.Array, n_fft: int, hop_length: int,
     if width is None:
         width = n_fft
     offset = (n_fft - width) // 2
+    S = width // hop_length
+    need = offset + (S - 1) * hop_length + n_frames * hop_length
+    if width == S * hop_length and need <= x.shape[1]:
+        parts = [
+            jax.lax.dynamic_slice_in_dim(
+                x, offset + s * hop_length, n_frames * hop_length, axis=1
+            ).reshape(B, n_frames, hop_length)
+            for s in range(S)
+        ]
+        return jnp.concatenate(parts, axis=-1)         # (B, T, width)
     idx = (jnp.arange(n_frames)[:, None] * hop_length + offset
            + jnp.arange(width)[None, :])
     return x[:, idx]                                   # (B, T, width)
