@@ -250,14 +250,34 @@ class SentencePieceUnigram(SentencePieceBPE):
                                          nbest_size=nbest_size))
 
 
-class SentencePieceChar(SentencePieceBPE):
+class _NoSampling:
+    """word/char models have exactly one segmentation — sentencepiece
+    reports SampleEncode/NBestEncode unavailable for them."""
+
+    def sample_encode_as_pieces(self, *a, **k):
+        raise NotImplementedError(
+            "SampleEncode is not available for this model type")
+
+    def nbest_encode_as_pieces(self, *a, **k):
+        raise NotImplementedError(
+            "NBestEncode is not available for this model type")
+
+    def encode(self, text: str, *, nbest_size: int = 0, alpha: float = 0.1,
+               rng=None) -> List[int]:
+        if nbest_size not in (0, 1):
+            raise NotImplementedError(
+                "SampleEncode is not available for this model type")
+        return self.encode_as_ids(text)
+
+
+class SentencePieceChar(_NoSampling, SentencePieceBPE):
     """One piece per normalized character (model_type=CHAR)."""
 
     def encode_as_pieces(self, text: str) -> List[str]:
         return list(self._normalize(text))
 
 
-class SentencePieceWord(SentencePieceBPE):
+class SentencePieceWord(_NoSampling, SentencePieceBPE):
     """One piece per whitespace-delimited word (model_type=WORD); each
     word carries its leading ▁ marker, as the trainer emits them."""
 
