@@ -146,8 +146,11 @@ def gated_bench(rt):
     if tok is None:
         raise FileNotFoundError("libri.bpe-256.model")
 
-    # held-out audio from the trained distribution, ~10 s utterances
-    B, NB = 8, 4                      # 4 micro-batches of 8
+    # held-out audio from the trained distribution, ~10 s utterances.
+    # Micro-batch 32: the gate is batch-conservative (a batch runs until
+    # ALL its rows are confident), so smaller batches are exacter per
+    # utterance but starve the MXU; 32 measured as a good middle on v5e
+    B, NB = 32, 4                     # 4 micro-batches of 32
     ds = SyntheticDataset(n_items=B * NB, seed=7777, min_words=18,
                           max_words=22)
     utts = [ds[i] for i in range(B * NB)]
