@@ -150,7 +150,7 @@ def gated_bench(rt):
     # Micro-batch 32: the gate is batch-conservative (a batch runs until
     # ALL its rows are confident), so smaller batches are exacter per
     # utterance but starve the MXU; 32 measured as a good middle on v5e
-    B, NB = 32, 4                     # 4 micro-batches of 32
+    B, NB = 64, 2                     # 2 micro-batches of 64
     ds = SyntheticDataset(n_items=B * NB, seed=7777, min_words=18,
                           max_words=22)
     utts = [ds[i] for i in range(B * NB)]
