@@ -93,12 +93,20 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16",
                     help="production profile (bfloat16 matmuls / fp32 "
                          "softmax+norms); float32 for parity debugging")
+    ap.add_argument("--model_type", default="early_conformer",
+                    choices=["early_conformer", "splitformer",
+                             "early_zipformer"],
+                    help="CTC model family (early_zipformer forces the "
+                         "reference's 19x1 single-exit layout, "
+                         "README.md:61)")
     args = ap.parse_args()
 
     work = args.workdir
     corpus = os.path.join(work, "corpus")
-    moddir = os.path.join(work, f"model_seed{args.seed}")
-    log = os.path.join(work, f"log_seed{args.seed}.txt")
+    tag = (f"seed{args.seed}" if args.model_type == "early_conformer"
+           else f"{args.model_type}_seed{args.seed}")
+    moddir = os.path.join(work, f"model_{tag}")
+    log = os.path.join(work, f"log_{tag}.txt")
     os.makedirs(corpus, exist_ok=True)
 
     marker = os.path.join(corpus, ".done")
@@ -127,8 +135,14 @@ def main():
               "--batch_size", "64", "--n_batch_split", "4",
               "--n_workers", "4", "--compute_dtype", args.compute_dtype,
               "--log_dir", os.path.join(work, "runs")]
+    if args.model_type != "early_conformer":
+        common += ["--model_type", args.model_type]
+    if args.model_type == "early_zipformer":
+        # the reference's required zipformer layout (README.md:61)
+        common += ["--n_enc_exits", "19", "--n_enc_layers_per_exit", "1"]
 
-    summary = {"seed": args.seed, "epochs": args.epochs,
+    summary = {"seed": args.seed, "model_type": args.model_type,
+               "epochs": args.epochs,
                "n_train": args.n_train, "n_test": args.n_test,
                "train_audio_h": round(audio["train_audio_s"] / 3600, 2),
                "compute_dtype": args.compute_dtype}
@@ -174,7 +188,7 @@ def main():
         summary["gated_wer_pct"] = float(m.group(1))
         summary["gated_mean_exits"] = float(m.group(2))
 
-    out_path = os.path.join(work, f"summary_seed{args.seed}.json")
+    out_path = os.path.join(work, f"summary_{tag}.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
