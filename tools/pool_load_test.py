@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--n_layers", type=int, default=2)
     ap.add_argument("--load_model_path", default=None,
                     help="optional trained checkpoint (else random init)")
+    ap.add_argument("--audio", default="noise",
+                    choices=["noise", "synthetic"],
+                    help="synthetic = tone-corpus utterances, so a "
+                         "trained checkpoint's gate sees in-distribution "
+                         "audio")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny dims / few rounds (CI)")
     args = ap.parse_args()
@@ -83,6 +88,23 @@ def main():
     sr = acfg.sample_rate
     chunk_n = int(args.chunk_s * sr)
 
+    if args.audio == "synthetic":
+        from early_exit_tpu.data.librispeech import SyntheticDataset
+        ds = SyntheticDataset(n_items=256, seed=99, min_words=4,
+                              max_words=20)
+        bank = [ds[i].waveform for i in range(len(ds))]
+        bank_i = [0]
+
+        def draw(n):
+            w = bank[bank_i[0] % len(bank)]
+            bank_i[0] += 1
+            if len(w) >= n:
+                return w[:n]
+            return np.pad(w, (0, n - len(w)))
+    else:
+        def draw(n):
+            return 0.1 * rng.randn(n).astype(np.float32)
+
     def new_len():
         # ragged stream lengths: 2..14 s (0.5..1.5 s in smoke mode so
         # churn actually happens within the few smoke rounds)
@@ -95,7 +117,7 @@ def main():
 
     # warmup: one full round compiles the window program(s)
     for i in range(args.streams):
-        pool.feed(i, 0.1 * rng.randn(chunk_n).astype(np.float32))
+        pool.feed(i, draw(chunk_n))
     pool.poll()
 
     lat, chunks = [], 0
@@ -103,7 +125,7 @@ def main():
     for r in range(args.rounds):
         for i in range(args.streams):
             n = min(chunk_n, remaining[i])
-            pool.feed(i, 0.1 * rng.randn(n).astype(np.float32))
+            pool.feed(i, draw(n))
             remaining[i] -= n
         t0 = time.perf_counter()
         out = pool.poll()
