@@ -31,7 +31,8 @@ namespace {
 
 using eet_spm::Charsmap;
 
-constexpr int kNormal = 1, kUnknown = 2, kControl = 3, kUserDefined = 4;
+constexpr int kNormal = 1, kUnknown = 2, kControl = 3, kUserDefined = 4,
+              kByte = 6;
 
 size_t utf8_len(uint8_t b);
 
@@ -74,6 +75,11 @@ struct Model {
   // unigram: unk penalty and Viterbi window (chars)
   double unk_score = -10.0;
   size_t max_piece_chars = 1;
+  // byte fallback (TrainerSpec.byte_fallback, field 35): unknown
+  // surfaces encode through the 256 <0xXX> BYTE pieces
+  bool byte_fallback = false;
+  int byte_ids[256];       // byte value -> piece id (-1 when absent)
+  std::vector<int> id_byte;  // piece id -> byte value (-1 for non-byte)
 };
 
 void parse_piece(const uint8_t* buf, size_t len, Piece* out) {
@@ -115,6 +121,7 @@ void parse_spec(const uint8_t* buf, size_t len, Model* m, bool trainer) {
       uint64_t v = r.varint();
       if (trainer) {
         if (field == 3) m->model_type = int(v);
+        if (field == 35) m->byte_fallback = v != 0;
         if (field == 40) m->unk_id = int(v);
         if (field == 41) m->bos_id = int(v);
         if (field == 42) m->eos_id = int(v);
@@ -168,6 +175,9 @@ Model* load_model(const char* path) {
   }
   float min_normal_score = 0.f;
   bool any_normal = false;
+  for (int b = 0; b < 256; ++b) m->byte_ids[b] = -1;
+  m->id_byte.assign(m->pieces.size(), -1);
+  int n_bytes = 0;
   for (size_t i = 0; i < m->pieces.size(); ++i) {
     const Piece& pc = m->pieces[i];
     m->piece_to_id.emplace(pc.text, int(i));
@@ -179,6 +189,31 @@ Model* load_model(const char* path) {
       any_normal = true;
     }
     if (pc.type == kUserDefined) m->user_defined.push_back(pc.text);
+    if (pc.type == kByte) {
+      // byte pieces are named <0xXX> (model_interface.cc:193)
+      const std::string& t = pc.text;
+      auto hex = [](char c) -> int {
+        if (c >= '0' && c <= '9') return c - '0';
+        if (c >= 'A' && c <= 'F') return c - 'A' + 10;
+        if (c >= 'a' && c <= 'f') return c - 'a' + 10;
+        return -1;
+      };
+      int b = -1;
+      if (t.size() == 6 && t.compare(0, 3, "<0x") == 0 && t[5] == '>' &&
+          hex(t[3]) >= 0 && hex(t[4]) >= 0)
+        b = hex(t[3]) * 16 + hex(t[4]);
+      if (b < 0 || !m->byte_fallback) {  // invalid or unexpected BYTE
+        delete m;
+        return nullptr;
+      }
+      if (m->byte_ids[b] < 0) ++n_bytes;
+      m->byte_ids[b] = int(i);
+      m->id_byte[i] = b;
+    }
+  }
+  if (m->byte_fallback && n_bytes != 256) {  // spm: all 256 required
+    delete m;
+    return nullptr;
   }
   // unigram: unk penalty below the worst in-vocab piece (spm semantics)
   m->unk_score = double(any_normal ? min_normal_score : 0.f) - 10.0;
@@ -526,45 +561,130 @@ int eet_bpe_id_to_piece(void* h, int id, char* out, int max_out) {
   return n;
 }
 
-int eet_bpe_encode(void* h, const char* text, int* out_ids, int max_out) {
+// Length-delimited variant: embedded NUL bytes are legal input (they
+// encode through the <0x00> piece when byte_fallback is on).
+int eet_bpe_encode_n(void* h, const char* text, long text_len,
+                     int* out_ids, int max_out) {
   auto* m = static_cast<Model*>(h);
-  auto pieces = encode_pieces(*m, text);
+  auto pieces = encode_pieces(
+      *m, std::string(text, size_t(text_len < 0 ? 0 : text_len)));
   int n = 0;
   for (const auto& p : pieces) {
-    if (n >= max_out) return -1;
     auto it = m->piece_to_id.find(p);
-    out_ids[n++] = it == m->piece_to_id.end() ? m->unk_id : it->second;
+    int id = it == m->piece_to_id.end() ? m->unk_id : it->second;
+    if (id == m->unk_id && m->byte_fallback) {
+      // decompose the unknown surface into UTF-8 byte pieces
+      // (sentencepiece_processor.cc:576-598)
+      for (unsigned char c : p) {
+        if (n >= max_out) return -1;
+        out_ids[n++] = m->byte_ids[c];
+      }
+      continue;
+    }
+    if (n >= max_out) return -1;
+    out_ids[n++] = id;
   }
   return n;
 }
 
+int eet_bpe_encode(void* h, const char* text, int* out_ids, int max_out) {
+  return eet_bpe_encode_n(h, text, long(strlen(text)), out_ids, max_out);
+}
+
+// Strict UTF-8 validation over a byte-piece run: valid characters copy
+// through; every structurally invalid byte (bad trail byte, overlong,
+// surrogate, out of range, truncated) becomes one U+FFFD — mirrors
+// sentencepiece's DecodeUTF8 (util.cc:44) + ProcessBytePieces
+// (sentencepiece_processor.cc:819-869).
+std::string decode_byte_run(const std::string& bs) {
+  auto trail = [](unsigned char c) { return (c & 0xC0) == 0x80; };
+  auto valid_cp = [](uint32_t cp) {
+    return cp < 0xD800 || (cp >= 0xE000 && cp <= 0x10FFFF);
+  };
+  std::string out;
+  out.reserve(bs.size());
+  size_t i = 0, n = bs.size();
+  while (i < n) {
+    unsigned char b0 = bs[i];
+    if (b0 < 0x80) {
+      out.push_back(char(b0));
+      ++i;
+      continue;
+    }
+    if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
+      unsigned char b1 = bs[i + 1];
+      uint32_t cp = ((b0 & 0x1F) << 6) | (b1 & 0x3F);
+      if (trail(b1) && cp >= 0x80 && valid_cp(cp)) {
+        out.append(bs, i, 2);
+        i += 2;
+        continue;
+      }
+    }
+    if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
+      unsigned char b1 = bs[i + 1], b2 = bs[i + 2];
+      uint32_t cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F);
+      if (trail(b1) && trail(b2) && cp >= 0x800 && valid_cp(cp)) {
+        out.append(bs, i, 3);
+        i += 3;
+        continue;
+      }
+    }
+    if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
+      unsigned char b1 = bs[i + 1], b2 = bs[i + 2], b3 = bs[i + 3];
+      uint32_t cp = ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) |
+                    ((b2 & 0x3F) << 6) | (b3 & 0x3F);
+      if (trail(b1) && trail(b2) && trail(b3) && cp >= 0x10000 &&
+          valid_cp(cp)) {
+        out.append(bs, i, 4);
+        i += 4;
+        continue;
+      }
+    }
+    out += "\xEF\xBF\xBD";  // U+FFFD
+    ++i;
+  }
+  return out;
+}
+
 int eet_bpe_decode(void* h, const int* ids, int n, char* out, int max_out) {
   auto* m = static_cast<Model*>(h);
-  std::string joined;
+  std::string text;
+  std::string run;  // pending consecutive byte pieces
+  auto flush = [&] {
+    if (!run.empty()) {
+      text += decode_byte_run(run);  // verbatim, no ▁ processing
+      run.clear();
+    }
+  };
+  auto append_piece = [&](const std::string& s) {
+    size_t i = 0;
+    while (i < s.size()) {
+      if (s.compare(i, 3, kWs) == 0) {
+        text.push_back(' ');
+        i += 3;
+      } else {
+        text.push_back(s[i]);
+        i += 1;
+      }
+    }
+  };
   for (int k = 0; k < n; ++k) {
     int id = ids[k];
     if (id < 0 || id >= int(m->pieces.size())) continue;
+    if (m->id_byte[id] >= 0) {
+      run.push_back(char(m->id_byte[id]));
+      continue;
+    }
+    flush();
     const Piece& pc = m->pieces[id];
     if (pc.type == kControl) continue;
     if (pc.type == kUnknown) {
-      joined += " \xe2\x81\x87 ";  // spm renders unk as ' ⁇ '
+      text += " \xe2\x81\x87 ";  // spm renders unk as ' ⁇ '
       continue;
     }
-    joined += pc.text;
+    append_piece(pc.text);
   }
-  // ▁ -> space, strip one leading space
-  std::string text;
-  text.reserve(joined.size());
-  size_t i = 0;
-  while (i < joined.size()) {
-    if (joined.compare(i, 3, kWs) == 0) {
-      text.push_back(' ');
-      i += 3;
-    } else {
-      text.push_back(joined[i]);
-      i += 1;
-    }
-  }
+  flush();
   if (!text.empty() && text[0] == ' ') text.erase(0, 1);
   int sz = int(text.size());
   if (sz >= max_out) return -1;

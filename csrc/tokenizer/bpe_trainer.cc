@@ -32,6 +32,7 @@ using eet_spm::TrainedPiece;
 struct Trainer {
   int vocab_size = 256;
   int unk_id = 0, bos_id = 1, eos_id = 2, pad_id = -1;
+  bool byte_fallback = false;
   std::vector<std::string> user_defined;
   // word (sequence of symbol ids) -> frequency
   std::vector<std::vector<int>> words;
@@ -80,7 +81,8 @@ struct Trainer {
       for (int id : words[i]) char_freq[id] += freqs[i];
 
     int n_special = 1 /*unk*/ + (bos_id >= 0) + (eos_id >= 0) +
-                    (pad_id >= 0) + int(user_defined.size());
+                    (pad_id >= 0) + int(user_defined.size()) +
+                    (byte_fallback ? 256 : 0);
     int n_alphabet = int(symbols.size());
     int n_merges = vocab_size - n_special - n_alphabet;
     if (n_merges < 0) n_merges = 0;
@@ -149,6 +151,15 @@ struct Trainer {
           break;
         }
     }
+    if (byte_fallback)
+      // 256 BYTE meta pieces after the user-defined symbols
+      // (trainer_interface.cc:800-804)
+      for (int b = 0; b < 256; ++b)
+        for (size_t i = 0; i < table.size(); ++i)
+          if (!used[i]) {
+            place(int(i), eet_spm::byte_piece(b), 0.f, 6);
+            break;
+          }
     // merged pieces by rank, then single characters by frequency
     std::vector<std::pair<std::string, float>> rest = merged;
     {
@@ -189,17 +200,19 @@ extern "C" {
 // <prefix>.vocab. user_defined: comma-separated. Returns 0 on success.
 // The _norm variant normalizes the corpus through a precompiled charsmap
 // blob and embeds it (with its rule-set name) in the emitted model.
-int eet_bpe_train_norm(const char* corpus_path, const char* model_prefix,
-                       int vocab_size, int unk_id, int bos_id, int eos_id,
-                       int pad_id, const char* user_defined,
-                       const char* norm_name, const char* charsmap_blob,
-                       long blob_len) {
+int eet_bpe_train_norm_ex(const char* corpus_path,
+                          const char* model_prefix, int vocab_size,
+                          int unk_id, int bos_id, int eos_id, int pad_id,
+                          const char* user_defined, const char* norm_name,
+                          const char* charsmap_blob, long blob_len,
+                          int byte_fallback) {
   Trainer tr;
   tr.vocab_size = vocab_size;
   tr.unk_id = unk_id;
   tr.bos_id = bos_id;
   tr.eos_id = eos_id;
   tr.pad_id = pad_id;
+  tr.byte_fallback = byte_fallback != 0;
   if (user_defined && *user_defined) {
     std::istringstream iss(user_defined);
     std::string tok;
@@ -224,7 +237,8 @@ int eet_bpe_train_norm(const char* corpus_path, const char* model_prefix,
   std::string model = eet_spm::serialize_model(
       table, /*model_type=*/2, unk_id, bos_id, eos_id, pad_id, vocab_size,
       nname, std::string(charsmap_blob ? charsmap_blob : "",
-                         charsmap_blob ? size_t(blob_len) : 0));
+                         charsmap_blob ? size_t(blob_len) : 0),
+      byte_fallback != 0);
   {
     std::ofstream mf(std::string(model_prefix) + ".model",
                      std::ios::binary);
@@ -240,12 +254,23 @@ int eet_bpe_train_norm(const char* corpus_path, const char* model_prefix,
   return 0;
 }
 
+int eet_bpe_train_norm(const char* corpus_path, const char* model_prefix,
+                       int vocab_size, int unk_id, int bos_id, int eos_id,
+                       int pad_id, const char* user_defined,
+                       const char* norm_name, const char* charsmap_blob,
+                       long blob_len) {
+  return eet_bpe_train_norm_ex(corpus_path, model_prefix, vocab_size,
+                               unk_id, bos_id, eos_id, pad_id,
+                               user_defined, norm_name, charsmap_blob,
+                               blob_len, 0);
+}
+
 int eet_bpe_train(const char* corpus_path, const char* model_prefix,
                   int vocab_size, int unk_id, int bos_id, int eos_id,
                   int pad_id, const char* user_defined) {
-  return eet_bpe_train_norm(corpus_path, model_prefix, vocab_size, unk_id,
-                            bos_id, eos_id, pad_id, user_defined,
-                            "identity", nullptr, 0);
+  return eet_bpe_train_norm_ex(corpus_path, model_prefix, vocab_size,
+                               unk_id, bos_id, eos_id, pad_id,
+                               user_defined, "identity", nullptr, 0, 0);
 }
 
 }  // extern "C"

@@ -45,8 +45,14 @@ int eet_spm_train(const char*, const char*, int, int, int, int, int,
                   const char*, int);
 int eet_spm_train_norm(const char*, const char*, int, int, int, int, int,
                        const char*, int, const char*, const char*);
+int eet_spm_train_norm_ex(const char*, const char*, int, int, int, int,
+                          int, const char*, int, const char*, const char*,
+                          int);
 int eet_spm_train_blob(const char*, const char*, int, int, int, int, int,
                        const char*, int, const char*, const char*, long);
+int eet_spm_train_blob_ex(const char*, const char*, int, int, int, int,
+                          int, const char*, int, const char*, const char*,
+                          long, int);
 int eet_bpe_normalize(void*, const char*, char*, int);
 void* eet_bpe_load(const char*);
 void eet_bpe_free(void*);
@@ -306,6 +312,11 @@ int main(int argc, char** argv) {
     int eos = iflag(argc, argv, "eos_id", 2);
     int pad = iflag(argc, argv, "pad_id", -1);
     std::string ud = flag(argc, argv, "user_defined_symbols");
+    // --byte_fallback=true adds the 256 <0xXX> BYTE pieces so unknown
+    // characters encode as UTF-8 bytes (spm_train's flag of the same
+    // name, sentencepiece_model.proto:187)
+    int byte_fallback =
+        flag(argc, argv, "byte_fallback", "false") == "true" ? 1 : 0;
     std::string mtype = flag(argc, argv, "model_type", "bpe");
     int model_type = mtype == "unigram" ? 1
                      : mtype == "bpe"   ? 2
@@ -325,10 +336,11 @@ int main(int argc, char** argv) {
       // generated (~17k-rule) TSV — closes the deep combining-mark gap
       std::string blob = find_nmt_nfkc_blob();
       if (!blob.empty()) {
-        int rc = eet_spm_train_blob(input.c_str(), prefix.c_str(), vocab,
-                                    unk, bos, eos, pad, ud.c_str(),
-                                    model_type, norm_name.c_str(),
-                                    blob.data(), long(blob.size()));
+        int rc = eet_spm_train_blob_ex(input.c_str(), prefix.c_str(),
+                                       vocab, unk, bos, eos, pad,
+                                       ud.c_str(), model_type,
+                                       norm_name.c_str(), blob.data(),
+                                       long(blob.size()), byte_fallback);
         if (rc) fprintf(stderr, "train failed (%d)\n", rc);
         return rc;
       }
@@ -342,9 +354,10 @@ int main(int argc, char** argv) {
         return 1;
       }
     }
-    int rc = eet_spm_train_norm(input.c_str(), prefix.c_str(), vocab, unk,
-                                bos, eos, pad, ud.c_str(), model_type,
-                                norm_name.c_str(), norm_tsv.c_str());
+    int rc = eet_spm_train_norm_ex(input.c_str(), prefix.c_str(), vocab,
+                                   unk, bos, eos, pad, ud.c_str(),
+                                   model_type, norm_name.c_str(),
+                                   norm_tsv.c_str(), byte_fallback);
     if (rc) fprintf(stderr, "train failed (%d)\n", rc);
     return rc;
   }

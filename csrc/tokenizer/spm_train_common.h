@@ -28,6 +28,16 @@ inline size_t utf8_len(uint8_t b) {
   return 1;
 }
 
+// `<0xXX>` byte-piece name (sentencepiece ByteToPiece,
+// model_interface.cc:193)
+inline std::string byte_piece(int b) {
+  static const char* hex = "0123456789ABCDEF";
+  std::string s = "<0x00>";
+  s[3] = hex[(b >> 4) & 0xf];
+  s[4] = hex[b & 0xf];
+  return s;
+}
+
 inline std::vector<std::string> to_chars(const std::string& s) {
   std::vector<std::string> out;
   size_t i = 0;
@@ -81,7 +91,8 @@ inline std::string serialize_model(const std::vector<TrainedPiece>& pieces,
                                    int model_type, int unk_id, int bos_id,
                                    int eos_id, int pad_id, int vocab_size,
                                    const std::string& norm_name = "identity",
-                                   const std::string& charsmap = "") {
+                                   const std::string& charsmap = "",
+                                   bool byte_fallback = false) {
   ProtoWriter model;
   for (const auto& p : pieces) {
     ProtoWriter sp;
@@ -93,6 +104,7 @@ inline std::string serialize_model(const std::vector<TrainedPiece>& pieces,
   ProtoWriter trainer;
   trainer.u64(3, uint64_t(model_type));
   trainer.u64(4, uint64_t(vocab_size));
+  if (byte_fallback) trainer.u64(35, 1);  // TrainerSpec.byte_fallback
   trainer.u64(40, uint64_t(unk_id));
   trainer.u64(41, uint64_t(bos_id < 0 ? 0xffffffffffffffffull : bos_id));
   trainer.u64(42, uint64_t(eos_id < 0 ? 0xffffffffffffffffull : eos_id));
@@ -144,7 +156,8 @@ inline bool load_word_counts(const char* corpus_path,
 inline std::vector<TrainedPiece> assemble_table(
     const std::vector<std::pair<std::string, float>>& learned,
     const std::vector<std::string>& user_defined, int vocab_size,
-    int unk_id, int bos_id, int eos_id, int pad_id) {
+    int unk_id, int bos_id, int eos_id, int pad_id,
+    bool byte_fallback = false) {
   std::vector<TrainedPiece> table(vocab_size);
   std::vector<bool> used(table.size(), false);
   auto place = [&](int id, const std::string& s, float sc, int type) {
@@ -163,6 +176,15 @@ inline std::vector<TrainedPiece> assemble_table(
         place(int(i), ud, 0.f, 4);
         break;
       }
+  if (byte_fallback)
+    // 256 BYTE meta pieces right after the user-defined symbols
+    // (trainer_interface.cc:800-804)
+    for (int b = 0; b < 256; ++b)
+      for (size_t i = 0; i < table.size(); ++i)
+        if (!used[i]) {
+          place(int(i), byte_piece(b), 0.f, 6);
+          break;
+        }
   size_t ri = 0;
   for (size_t i = 0; i < table.size() && ri < learned.size(); ++i)
     if (!used[i]) {

@@ -411,29 +411,46 @@ extern "C" {
 // the vendored spm_train does with --normalization_rule_{name,tsv}.
 int eet_bpe_train_norm(const char*, const char*, int, int, int, int, int,
                        const char*, const char*, const char*, long);
-int eet_spm_train_norm(const char* corpus_path, const char* model_prefix,
-                       int vocab_size, int unk_id, int bos_id, int eos_id,
-                       int pad_id, const char* user_defined, int model_type,
-                       const char* norm_name, const char* norm_tsv);
+int eet_bpe_train_norm_ex(const char*, const char*, int, int, int, int,
+                          int, const char*, const char*, const char*, long,
+                          int);
+int eet_spm_train_norm_ex(const char* corpus_path, const char* model_prefix,
+                          int vocab_size, int unk_id, int bos_id,
+                          int eos_id, int pad_id, const char* user_defined,
+                          int model_type, const char* norm_name,
+                          const char* norm_tsv, int byte_fallback);
 
 int eet_spm_train(const char* corpus_path, const char* model_prefix,
                   int vocab_size, int unk_id, int bos_id, int eos_id,
                   int pad_id, const char* user_defined, int model_type) {
-  return eet_spm_train_norm(corpus_path, model_prefix, vocab_size, unk_id,
-                            bos_id, eos_id, pad_id, user_defined,
-                            model_type, "identity", "");
+  return eet_spm_train_norm_ex(corpus_path, model_prefix, vocab_size,
+                               unk_id, bos_id, eos_id, pad_id,
+                               user_defined, model_type, "identity", "",
+                               0);
 }
 
-int eet_spm_train_blob(const char* corpus_path, const char* model_prefix,
-                       int vocab_size, int unk_id, int bos_id, int eos_id,
-                       int pad_id, const char* user_defined, int model_type,
-                       const char* norm_name, const char* blob_data,
-                       long blob_len);
+int eet_spm_train_blob_ex(const char* corpus_path, const char* model_prefix,
+                          int vocab_size, int unk_id, int bos_id,
+                          int eos_id, int pad_id, const char* user_defined,
+                          int model_type, const char* norm_name,
+                          const char* blob_data, long blob_len,
+                          int byte_fallback);
 
 int eet_spm_train_norm(const char* corpus_path, const char* model_prefix,
                        int vocab_size, int unk_id, int bos_id, int eos_id,
                        int pad_id, const char* user_defined, int model_type,
                        const char* norm_name, const char* norm_tsv) {
+  return eet_spm_train_norm_ex(corpus_path, model_prefix, vocab_size,
+                               unk_id, bos_id, eos_id, pad_id,
+                               user_defined, model_type, norm_name,
+                               norm_tsv, 0);
+}
+
+int eet_spm_train_norm_ex(const char* corpus_path, const char* model_prefix,
+                          int vocab_size, int unk_id, int bos_id,
+                          int eos_id, int pad_id, const char* user_defined,
+                          int model_type, const char* norm_name,
+                          const char* norm_tsv, int byte_fallback) {
   std::string blob;
   if (norm_tsv && *norm_tsv) {
     std::vector<std::pair<std::string, std::string>> rules;
@@ -441,27 +458,41 @@ int eet_spm_train_norm(const char* corpus_path, const char* model_prefix,
     blob = eet_spm::compile_charsmap(rules);
     if (blob.empty()) return 4;
   }
-  return eet_spm_train_blob(corpus_path, model_prefix, vocab_size, unk_id,
-                            bos_id, eos_id, pad_id, user_defined,
-                            model_type, norm_name, blob.data(),
-                            long(blob.size()));
+  return eet_spm_train_blob_ex(corpus_path, model_prefix, vocab_size,
+                               unk_id, bos_id, eos_id, pad_id,
+                               user_defined, model_type, norm_name,
+                               blob.data(), long(blob.size()),
+                               byte_fallback);
 }
 
-// Variant taking a ready-made precompiled charsmap blob — e.g. the
-// GENUINE nmt_nfkc blob (224,725 rules) extracted from an existing
-// artifact's NormalizerSpec, rather than the generated rule TSVs.
 int eet_spm_train_blob(const char* corpus_path, const char* model_prefix,
                        int vocab_size, int unk_id, int bos_id, int eos_id,
                        int pad_id, const char* user_defined, int model_type,
                        const char* norm_name, const char* blob_data,
                        long blob_len) {
+  return eet_spm_train_blob_ex(corpus_path, model_prefix, vocab_size,
+                               unk_id, bos_id, eos_id, pad_id,
+                               user_defined, model_type, norm_name,
+                               blob_data, blob_len, 0);
+}
+
+// Variant taking a ready-made precompiled charsmap blob — e.g. the
+// GENUINE nmt_nfkc blob (224,725 rules) extracted from an existing
+// artifact's NormalizerSpec, rather than the generated rule TSVs.
+int eet_spm_train_blob_ex(const char* corpus_path, const char* model_prefix,
+                          int vocab_size, int unk_id, int bos_id,
+                          int eos_id, int pad_id, const char* user_defined,
+                          int model_type, const char* norm_name,
+                          const char* blob_data, long blob_len,
+                          int byte_fallback) {
   std::string blob(blob_data ? blob_data : "", size_t(std::max(blob_len,
                                                                0L)));
   std::string nname = (norm_name && *norm_name) ? norm_name : "identity";
   if (model_type == 2)
-    return eet_bpe_train_norm(corpus_path, model_prefix, vocab_size,
-                              unk_id, bos_id, eos_id, pad_id, user_defined,
-                              nname.c_str(), blob.data(), long(blob.size()));
+    return eet_bpe_train_norm_ex(corpus_path, model_prefix, vocab_size,
+                                 unk_id, bos_id, eos_id, pad_id,
+                                 user_defined, nname.c_str(), blob.data(),
+                                 long(blob.size()), byte_fallback);
   if (model_type < 1 || model_type > 4) return 3;
   eet_spm::Charsmap cm;
   if (!blob.empty() &&
@@ -488,7 +519,7 @@ int eet_spm_train_blob(const char* corpus_path, const char* model_prefix,
     return 1;
 
   int n_special = 1 + (bos_id >= 0) + (eos_id >= 0) + (pad_id >= 0) +
-                  int(ud.size());
+                  int(ud.size()) + (byte_fallback ? 256 : 0);
   int target = vocab_size - n_special;
   if (target <= 0) return 3;
 
@@ -510,10 +541,11 @@ int eet_spm_train_blob(const char* corpus_path, const char* model_prefix,
   }
 
   auto table = eet_spm::assemble_table(learned, ud, vocab_size, unk_id,
-                                       bos_id, eos_id, pad_id);
+                                       bos_id, eos_id, pad_id,
+                                       byte_fallback != 0);
   std::string model = eet_spm::serialize_model(
       table, model_type, unk_id, bos_id, eos_id, pad_id, vocab_size,
-      nname, blob);
+      nname, blob, byte_fallback != 0);
   {
     std::ofstream mf(std::string(model_prefix) + ".model",
                      std::ios::binary);

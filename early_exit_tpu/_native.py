@@ -108,6 +108,9 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.eet_bpe_encode.restype = c.c_int
     lib.eet_bpe_encode.argtypes = [c.c_void_p, c.c_char_p,
                                    c.POINTER(c.c_int), c.c_int]
+    lib.eet_bpe_encode_n.restype = c.c_int
+    lib.eet_bpe_encode_n.argtypes = [c.c_void_p, c.c_char_p, c.c_long,
+                                     c.POINTER(c.c_int), c.c_int]
     lib.eet_bpe_decode.restype = c.c_int
     lib.eet_bpe_decode.argtypes = [c.c_void_p, c.POINTER(c.c_int), c.c_int,
                                    c.c_char_p, c.c_int]
@@ -147,6 +150,12 @@ def _configure(lib: ctypes.CDLL) -> None:
                                        c.c_int, c.c_int, c.c_int, c.c_int,
                                        c.c_char_p, c.c_int, c.c_char_p,
                                        c.c_char_p]
+    # _ex: trailing byte_fallback flag (adds the 256 <0xXX> BYTE pieces)
+    lib.eet_spm_train_norm_ex.restype = c.c_int
+    lib.eet_spm_train_norm_ex.argtypes = [c.c_char_p, c.c_char_p, c.c_int,
+                                          c.c_int, c.c_int, c.c_int,
+                                          c.c_int, c.c_char_p, c.c_int,
+                                          c.c_char_p, c.c_char_p, c.c_int]
     lib.eet_bpe_normalize.restype = c.c_int
     lib.eet_bpe_normalize.argtypes = [c.c_void_p, c.c_char_p, c.c_char_p,
                                       c.c_int]

@@ -18,11 +18,76 @@ BPE merge semantics (sentencepiece bpe_model.cc behavior):
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List
 
 from early_exit_tpu.tokenizer import proto
 
 WS = "▁"   # ▁
+
+_BYTE_PIECE_RE = re.compile(r"^<0x([0-9A-Fa-f]{2})>$")
+
+
+def byte_piece(b: int) -> str:
+    """`<0xXX>` byte-piece name (sentencepiece ByteToPiece,
+    model_interface.cc:193)."""
+    return f"<0x{b:02X}>"
+
+
+def piece_to_byte(piece: str) -> int:
+    """Inverse of byte_piece; -1 when `piece` is not a byte piece."""
+    m = _BYTE_PIECE_RE.match(piece)
+    return int(m.group(1), 16) if m else -1
+
+
+def _is_trail(b: int) -> bool:
+    return (b & 0xC0) == 0x80
+
+
+def _valid_cp(cp: int) -> bool:
+    return cp < 0xD800 or (0xE000 <= cp <= 0x10FFFF)
+
+
+def utf8_decode_strict(bs: bytes) -> str:
+    """Decodes UTF-8 the way sentencepiece's decoder does on byte-piece
+    runs (string_util DecodeUTF8, util.cc:44): strict validity incl.
+    overlong/surrogate rejection; every structurally invalid byte becomes
+    one U+FFFD (sentencepiece_processor.cc:845-850)."""
+    out: List[str] = []
+    i, n = 0, len(bs)
+    while i < n:
+        b0 = bs[i]
+        if b0 < 0x80:
+            out.append(chr(b0))
+            i += 1
+            continue
+        if (b0 & 0xE0) == 0xC0 and i + 1 < n:
+            b1 = bs[i + 1]
+            cp = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+            if _is_trail(b1) and cp >= 0x80 and _valid_cp(cp):
+                out.append(chr(cp))
+                i += 2
+                continue
+        if (b0 & 0xF0) == 0xE0 and i + 2 < n:
+            b1, b2 = bs[i + 1], bs[i + 2]
+            cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+            if (_is_trail(b1) and _is_trail(b2) and cp >= 0x800
+                    and _valid_cp(cp)):
+                out.append(chr(cp))
+                i += 3
+                continue
+        if (b0 & 0xF8) == 0xF0 and i + 3 < n:
+            b1, b2, b3 = bs[i + 1], bs[i + 2], bs[i + 3]
+            cp = (((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12)
+                  | ((b2 & 0x3F) << 6) | (b3 & 0x3F))
+            if (_is_trail(b1) and _is_trail(b2) and _is_trail(b3)
+                    and cp >= 0x10000 and _valid_cp(cp)):
+                out.append(chr(cp))
+                i += 4
+                continue
+        out.append("�")
+        i += 1
+    return "".join(out)
 
 
 class SentencePieceBPE:
@@ -63,6 +128,25 @@ class SentencePieceBPE:
         self.user_defined = sorted(
             (p.piece for p in model.pieces if p.type == proto.USER_DEFINED),
             key=len, reverse=True)
+        # byte fallback (TrainerSpec.byte_fallback, field 35): unknown
+        # surfaces encode as their UTF-8 bytes through the 256 <0xXX>
+        # pieces (sentencepiece_processor.cc:576-598)
+        self.byte_fallback = bool(int(t.get("byte_fallback", 0)))
+        self._id_to_byte: Dict[int, int] = {}
+        for i, p in enumerate(model.pieces):
+            if p.type == proto.BYTE:
+                b = piece_to_byte(p.piece)
+                if b < 0:
+                    raise ValueError(f"invalid byte piece {p.piece!r}")
+                if not self.byte_fallback:
+                    raise ValueError(
+                        f"byte piece {p.piece!r} found although "
+                        "`byte_fallback` is false")
+                self._id_to_byte[i] = b
+        if self.byte_fallback and len(set(
+                self._id_to_byte.values())) != 256:
+            raise ValueError("there are not 256 byte pieces although "
+                             "`byte_fallback` is true")
 
     # -- SentencePieceProcessor-compatible surface ------------------------
     def get_piece_size(self) -> int:
@@ -184,6 +268,20 @@ class SentencePieceBPE:
                 maybe_push(l, nxt[l])
         return [p for p in piece if p]
 
+    def _with_byte_fallback(self, pieces: List[str]) -> List[str]:
+        """Replaces would-be-unk pieces by their UTF-8 byte pieces when
+        the model enables byte_fallback (the shared post-segmentation
+        step of every model type, sentencepiece_processor.cc:576)."""
+        if not self.byte_fallback:
+            return pieces
+        out: List[str] = []
+        for p in pieces:
+            if self.piece_to_id.get(p, self.unk_id_) != self.unk_id_:
+                out.append(p)
+            else:
+                out.extend(byte_piece(b) for b in p.encode("utf-8"))
+        return out
+
     def encode_as_pieces(self, text: str) -> List[str]:
         norm = self._normalize(text)
         pieces: List[str] = []
@@ -192,7 +290,7 @@ class SentencePieceBPE:
                 pieces.append(chunk)
             else:
                 pieces.extend(self._bpe_merge(list(chunk)))
-        return pieces
+        return self._with_byte_fallback(pieces)
 
     def sample_encode_as_pieces(self, text: str, alpha: float = 0.1,
                                 rng=None) -> List[str]:
@@ -211,7 +309,7 @@ class SentencePieceBPE:
             else:
                 pieces.extend(
                     self._bpe_merge_dropout(list(chunk), alpha, rng))
-        return pieces
+        return self._with_byte_fallback(pieces)
 
     def nbest_encode_as_pieces(self, text: str, nbest: int
                                ) -> List[tuple[List[str], float]]:
@@ -242,21 +340,60 @@ class SentencePieceBPE:
             self.sample_encode_as_pieces(text, alpha, rng))
 
     # -- decoding ---------------------------------------------------------
-    def decode_pieces(self, pieces: List[str]) -> str:
-        text = "".join(pieces).replace(WS, " ")
+    @staticmethod
+    def _render(segments: List[tuple[str, bool]]) -> str:
+        """Joins (text, is_raw) segments: ▁→space on piece text, byte-run
+        decodes appended verbatim; strips the dummy-prefix space."""
+        text = "".join(s if raw else s.replace(WS, " ")
+                       for s, raw in segments)
         return text[1:] if text.startswith(" ") else text
 
+    def decode_pieces(self, pieces: List[str]) -> str:
+        segments: List[tuple[str, bool]] = []
+        run = bytearray()
+
+        def flush():
+            if run:
+                segments.append((utf8_decode_strict(bytes(run)), True))
+                run.clear()
+
+        for p in pieces:
+            b = piece_to_byte(p) if self.byte_fallback else -1
+            if b >= 0:
+                run.append(b)
+            else:
+                flush()
+                segments.append((p, False))
+        flush()
+        return self._render(segments)
+
     def decode(self, ids) -> str:
-        pieces = []
+        # consecutive byte pieces merge into one UTF-8 byte string
+        # (sentencepiece ProcessBytePieces, processor.cc:819-869)
+        segments: List[tuple[str, bool]] = []
+        run = bytearray()
+
+        def flush():
+            if run:
+                segments.append((utf8_decode_strict(bytes(run)), True))
+                run.clear()
+
         for i in ids:
             i = int(i)
-            if 0 <= i < len(self.pieces) and self.types[i] not in (
-                    proto.CONTROL,):
-                if self.types[i] == proto.UNKNOWN:
-                    pieces.append(" ⁇ ")   # spm renders unk as ' ⁇ '
-                else:
-                    pieces.append(self.pieces[i])
-        return self.decode_pieces(pieces)
+            if not 0 <= i < len(self.pieces):
+                continue
+            if i in self._id_to_byte:
+                run.append(self._id_to_byte[i])
+                continue
+            flush()
+            if self.types[i] == proto.CONTROL:
+                continue
+            if self.types[i] == proto.UNKNOWN:
+                segments.append((" ⁇ ", False))  # spm renders unk as ' ⁇ '
+            else:
+                segments.append((self.pieces[i], False))
+        flush()
+        return self._render(segments)
 
 
 def load_tokenizer(model_path: str, *, prefer_native: bool = True

@@ -55,8 +55,11 @@ class NativeBPE:
         return self._lib.eet_bpe_piece_type(self._h, i)
 
     def encode_as_ids(self, text: str) -> List[int]:
-        n = self._lib.eet_bpe_encode(self._h, text.encode("utf-8"),
-                                     self._ids, len(self._ids))
+        raw = text.encode("utf-8")
+        # length-delimited call: embedded NUL bytes are legal input
+        # (they encode through <0x00> under byte fallback)
+        n = self._lib.eet_bpe_encode_n(self._h, raw, len(raw),
+                                       self._ids, len(self._ids))
         if n < 0:
             raise ValueError("encode overflow")
         return list(self._ids[:n])
@@ -73,4 +76,5 @@ class NativeBPE:
                                      len(self._buf))
         if n < 0:
             raise ValueError("decode overflow")
-        return self._buf.value.decode("utf-8")
+        # raw[:n], not .value: decoded byte pieces may contain NUL
+        return self._buf.raw[:n].decode("utf-8", errors="replace")

@@ -89,8 +89,8 @@ def _parse_piece(buf: bytes) -> SentencePieceEntry:
 
 
 # TrainerSpec field numbers we care about
-_TRAINER_FIELDS = {3: "model_type", 4: "vocab_size", 40: "unk_id",
-                   41: "bos_id", 42: "eos_id", 43: "pad_id"}
+_TRAINER_FIELDS = {3: "model_type", 4: "vocab_size", 35: "byte_fallback",
+                   40: "unk_id", 41: "bos_id", 42: "eos_id", 43: "pad_id"}
 # NormalizerSpec field numbers
 _NORM_FIELDS = {1: "name", 2: "precompiled_charsmap", 3: "add_dummy_prefix",
                 4: "remove_extra_whitespaces", 5: "escape_whitespaces"}

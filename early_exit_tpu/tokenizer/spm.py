@@ -84,7 +84,7 @@ class SentencePieceUnigram(SentencePieceBPE):
                 pieces.append(chunk)
             else:
                 pieces.extend(self._segment(list(chunk)))
-        return pieces
+        return self._with_byte_fallback(pieces)
 
     # -- lattice machinery for nbest / sampled encoding -------------------
     # (reference: vendored unigram NBestEncode / SampleEncode over the
@@ -205,7 +205,7 @@ class SentencePieceUnigram(SentencePieceBPE):
             key = tuple(ps)
             if key not in seen:
                 seen.add(key)
-                out.append((ps, sc))
+                out.append((self._with_byte_fallback(ps), sc))
         return out
 
     def sample_encode_as_pieces(self, text: str, alpha: float = 0.1,
@@ -239,7 +239,7 @@ class SentencePieceUnigram(SentencePieceBPE):
             else:
                 pieces.extend(self._sample_segment(list(chunk), alpha,
                                                    rng))
-        return pieces
+        return self._with_byte_fallback(pieces)
 
     def encode(self, text: str, *, nbest_size: int = 0,
                alpha: float = 0.1, rng=None) -> List[int]:
@@ -274,7 +274,7 @@ class SentencePieceChar(_NoSampling, SentencePieceBPE):
     """One piece per normalized character (model_type=CHAR)."""
 
     def encode_as_pieces(self, text: str) -> List[str]:
-        return list(self._normalize(text))
+        return self._with_byte_fallback(list(self._normalize(text)))
 
 
 class SentencePieceWord(_NoSampling, SentencePieceBPE):
@@ -284,7 +284,7 @@ class SentencePieceWord(_NoSampling, SentencePieceBPE):
     def encode_as_pieces(self, text: str) -> List[str]:
         norm = self._normalize(text)
         words = [w for w in norm.split(WS) if w]
-        return [WS + w for w in words]
+        return self._with_byte_fallback([WS + w for w in words])
 
 
 _ENGINES = {UNIGRAM: SentencePieceUnigram, BPE: SentencePieceBPE,
