@@ -125,7 +125,11 @@ class Charsmap:
                 key = prefix + bytes([c])
                 if unit & _HAS_LEAF:
                     off = units[child] & _VALUE_MASK
-                    end = self.pool.index(b"\0", off)
+                    # clamp to pool end on a truncated blob, like the
+                    # C++ reader (charsmap.h)
+                    end = self.pool.find(b"\0", off)
+                    if end < 0:
+                        end = len(self.pool)
                     rules[key] = self.pool[off:end]
                 stack.append((child, key))
         return rules
