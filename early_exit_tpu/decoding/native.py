@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import threading
 from typing import Sequence
 
 from early_exit_tpu import _native
@@ -14,7 +15,16 @@ class NativeLexicon:
         self._h = self._lib.eet_lex_create()
         for w in entries:
             self._lib.eet_lex_add(self._h, w.encode("utf-8"))
-        self._buf = ctypes.create_string_buffer(1 << 12)
+        # per-thread scratch: `closest` may run from concurrent serving
+        # threads, and the C call releases the GIL while writing here
+        self._tls = threading.local()
+
+    @property
+    def _buf(self):
+        buf = getattr(self._tls, "buf", None)
+        if buf is None:
+            buf = self._tls.buf = ctypes.create_string_buffer(1 << 12)
+        return buf
 
     def __del__(self):
         try:

@@ -3,21 +3,42 @@
 from __future__ import annotations
 
 import ctypes
+import threading
 from typing import List
 
 from early_exit_tpu import _native
 
 
 class NativeBPE:
-    """SentencePieceProcessor-compatible surface over the C++ engine."""
+    """SentencePieceProcessor-compatible surface over the C++ engine.
+
+    Thread-safe: the C++ engine never mutates the model handle during
+    encode/decode, and the output scratch buffers the C side writes
+    into are per-thread (the data pipeline encodes from several worker
+    threads at once — a single shared buffer garbles labels when two
+    GIL-released C calls overlap).
+    """
 
     def __init__(self, model_path: str):
         self._lib = _native.get_lib()
         self._h = self._lib.eet_bpe_load(model_path.encode())
         if not self._h:
             raise FileNotFoundError(model_path)
-        self._buf = ctypes.create_string_buffer(1 << 16)
-        self._ids = (ctypes.c_int * 4096)()
+        self._tls = threading.local()
+
+    @property
+    def _buf(self):
+        buf = getattr(self._tls, "buf", None)
+        if buf is None:
+            buf = self._tls.buf = ctypes.create_string_buffer(1 << 16)
+        return buf
+
+    @property
+    def _ids(self):
+        ids = getattr(self._tls, "ids", None)
+        if ids is None:
+            ids = self._tls.ids = (ctypes.c_int * 4096)()
+        return ids
 
     def __del__(self):
         try:

@@ -93,3 +93,50 @@ def test_native_lexicon_full_scale():
     dt = time.time() - t0
     # build + 5 queries over 89k entries well under a second each
     assert dt < 20, dt
+
+
+def test_native_encode_thread_safety(native_tok, py_tok):
+    """Concurrent encodes must not garble each other's output.
+
+    Regression: the wrapper used ONE shared ctypes output buffer; the C
+    call releases the GIL, so two pipeline worker threads encoding at
+    once interleaved writes and produced mixed-utterance label ids
+    (observed as a nondeterministic one-utterance WER hit per eval run
+    at reference scale). Per-thread scratch buffers fix it.
+    """
+    import random
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    # mixed short/long texts maximise the overlap window (a long
+    # encode's slow buffer read vs a short encode's quick overwrite);
+    # a tiny switch interval makes the race fire reliably even on a
+    # single-CPU host (the old code: 100+ mismatches per run here)
+    words = ["PEOPLE", "WHERE", "HE", "MUST", "OVER", "IF", "WHAT",
+             "ME", "ONLY", "MY", "TIME", "BE", "THE", "QUICK"]
+    rng = random.Random(0)
+    texts = [" ".join(rng.choice(words)
+                      for _ in range(rng.randint(5, 400)))
+             for _ in range(200)]
+    want = [py_tok.encode_as_ids(t) for t in texts]
+    old_interval = sys.getswitchinterval()
+    sys.setswitchinterval(1e-5)
+    try:
+        with ThreadPoolExecutor(8) as pool:
+            for _ in range(10):
+                got = list(pool.map(native_tok.encode_as_ids, texts))
+                assert got == want
+    finally:
+        sys.setswitchinterval(old_interval)
+
+
+def test_native_decode_thread_safety(native_tok, py_tok):
+    from concurrent.futures import ThreadPoolExecutor
+
+    texts = ["THE QUICK BROWN FOX", "HELLO WORLD", "IT'S A TIME",
+             "PEOPLE ONLY MY TIME BE"] * 50
+    ids = [py_tok.encode_as_ids(t) for t in texts]
+    with ThreadPoolExecutor(8) as pool:
+        for _ in range(10):
+            got = list(pool.map(native_tok.decode, ids))
+            assert got == texts
