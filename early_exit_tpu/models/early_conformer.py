@@ -74,21 +74,35 @@ def frontend_embed(params, feats, lengths, cfg: ModelConfig, *,
     return x, sub_len, mask
 
 
-def apply_heads(heads, hidden, cfg: ModelConfig):
-    """(E, B, T, D) exit hidden states -> (E, B, T, V) log-probs."""
+def apply_heads(heads, hidden, cfg: ModelConfig, *,
+                log_probs: bool = True):
+    """(E, B, T, D) exit hidden states -> (E, B, T, V) log-probs.
+
+    log_probs=False returns raw bf16 logits instead: per-frame argmax
+    (greedy CTC) is softmax-invariant, and skipping the fp32
+    log_softmax materialization saves ~1.6 ms at B=128 (the normalized
+    (E, B, T, V) fp32 tensor is ~200 MB of HBM writes). Beam decoders
+    and the confidence gate need the normalized values — keep the
+    default for those paths."""
     def one(head_p, h):
         logits = nn.linear(head_p, h, compute_dtype=cfg.dtype)
+        if not log_probs:
+            return logits
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return jax.vmap(one)(heads, hidden)
 
 
 def apply(params, state, feats, lengths, cfg: ModelConfig, *,
           rng: Optional[jax.Array] = None, train: bool = False,
-          attn_mask: Optional[jax.Array] = None):
+          attn_mask: Optional[jax.Array] = None,
+          log_probs: bool = True):
     """feats: (B, T, n_mels) log-mel; lengths: (B,) original frame counts.
 
     attn_mask: optional (T', T') bool pair mask over subsampled frames
     (dynamic-chunk streaming training, training/trainer.py).
+
+    log_probs=False returns raw head logits (see apply_heads) — exact
+    for greedy decode, cheaper at large batch.
 
     Returns (log_probs (n_exits, B, T', V), sub_lengths (B,), new_state).
     Matches the forward contract of early_exit.py:617-634 plus explicit
@@ -110,8 +124,9 @@ def apply(params, state, feats, lengths, cfg: ModelConfig, *,
     exit_idx = jnp.arange(1, cfg.n_enc_exits + 1) * cfg.n_enc_layers_per_exit - 1
     exit_hidden = jnp.take(layer_outs, exit_idx, axis=0)   # (E, B, T', D)
 
-    log_probs = apply_heads(params["heads"], exit_hidden, cfg)
-    return log_probs, sub_len, {"blocks": new_block_state}
+    out = apply_heads(params["heads"], exit_hidden, cfg,
+                      log_probs=log_probs)
+    return out, sub_len, {"blocks": new_block_state}
 
 
 def encode_exit(params, state, feats, lengths, cfg: ModelConfig, n_exit: int):

@@ -80,8 +80,12 @@ def _branch(par_params, par_state, x, lengths, sub_len, cfg: ModelConfig,
 
 
 def apply(params, state, feats, lengths, cfg: ModelConfig, *,
-          rng: Optional[jax.Array] = None, train: bool = False):
-    """Returns (log_probs (n_exits, B, T', V), sub_lengths, new_state)."""
+          rng: Optional[jax.Array] = None, train: bool = False,
+          log_probs: bool = True):
+    """Returns (log_probs (n_exits, B, T', V), sub_lengths, new_state).
+
+    log_probs=False returns raw head logits (argmax-equivalent for
+    greedy decode; see early_conformer.apply_heads)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     r_pe, r_blocks, r_par0, r_par1 = jax.random.split(rng, 4)
@@ -115,10 +119,10 @@ def apply(params, state, feats, lengths, cfg: ModelConfig, *,
         exit_hidden.append(x)
 
     hidden = jnp.stack(exit_hidden)                      # (E, B, T', D)
-    log_probs = apply_heads(params["heads"], hidden, cfg)
+    out = apply_heads(params["heads"], hidden, cfg, log_probs=log_probs)
     new_state = {
         "blocks": jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *new_block_states),
         "parallel": new_par_states,
     }
-    return log_probs, sub_len, new_state
+    return out, sub_len, new_state

@@ -68,8 +68,12 @@ def _ccfg(cfg: ModelConfig):
 
 
 def apply(params, state, feats, lengths, cfg: ModelConfig, *,
-          rng: Optional[jax.Array] = None, train: bool = False):
-    """Returns (log_probs (1, B, T'', V), out_lengths (B,), new_state)."""
+          rng: Optional[jax.Array] = None, train: bool = False,
+          log_probs: bool = True):
+    """Returns (log_probs (1, B, T'', V), out_lengths (B,), new_state).
+
+    log_probs=False returns raw head logits (argmax-equivalent for
+    greedy decode; see early_conformer.apply_heads)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     ccfg = _ccfg(cfg)
@@ -126,7 +130,8 @@ def apply(params, state, feats, lengths, cfg: ModelConfig, *,
     # output: extra ×2 downsample → single head
     out = subsampling.downsample(x, 2)
     logits = nn.linear(params["head"], out, compute_dtype=cfg.dtype)
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if log_probs:
+        logits = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     out_len = jnp.minimum((base_len + 1) // 2, out.shape[1])
     new_state = {"pre": new_pre, "stages": new_stages}
-    return log_probs[None], out_len, new_state
+    return logits[None], out_len, new_state

@@ -142,7 +142,8 @@ def greedy_decode(log_probs: jax.Array, lengths: jax.Array, *,
     Parity with GreedyCTCDecoder (util/beam_infer.py:9-24), vectorized and
     jittable with static shapes.
 
-    log_probs: (B, T, V); lengths: (B,).
+    log_probs: (B, T, V) — log-probs or raw logits: only the per-frame
+    argmax is used, which is softmax-invariant. lengths: (B,).
     Returns (tokens (B, T) padded with `blank`, n_tokens (B,)).
     """
     B, T, V = log_probs.shape

@@ -221,11 +221,22 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
     return step
 
 
-def make_eval_forward(model, model_cfg: ModelConfig) -> Callable:
+def make_eval_forward(model, model_cfg: ModelConfig, *,
+                      log_probs: bool = True) -> Callable:
     """Jittable inference forward: (params, state, feats, lengths) ->
-    (log_probs (E,B,T',V), sub_len)."""
+    (log_probs (E,B,T',V), sub_len).
+
+    log_probs=False asks the model for raw head logits instead (exact
+    for greedy decode, skips the fp32 log_softmax materialization);
+    models whose apply lacks the kwarg fall back to log-probs."""
+    kwargs = {}
+    if not log_probs:
+        import inspect
+        if "log_probs" in inspect.signature(model.apply).parameters:
+            kwargs["log_probs"] = False
     def fwd(params, model_state, feats, lengths):
-        log_probs, sub_len, _ = model.apply(params, model_state, feats,
-                                            lengths, model_cfg, train=False)
-        return log_probs, sub_len
+        out, sub_len, _ = model.apply(params, model_state, feats,
+                                      lengths, model_cfg, train=False,
+                                      **kwargs)
+        return out, sub_len
     return fwd

@@ -194,7 +194,11 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
 
 
 def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
-    fwd = jax.jit(trainer.make_eval_forward(model, model_cfg))
+    # greedy decode only argmaxes, so raw logits are exact and skip the
+    # fp32 (E,B,T',V) log_softmax materialization; beam decoders score
+    # with the normalized values and keep log-probs
+    fwd = jax.jit(trainer.make_eval_forward(
+        model, model_cfg, log_probs=args.decode != "greedy"))
     trie_dec = None
     if args.decode == "lexicon_beam":
         from early_exit_tpu.decoding.lexicon_beam import LexiconBeamDecoder

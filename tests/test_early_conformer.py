@@ -92,3 +92,26 @@ def test_jit_compiles():
     fn = jax.jit(lambda p, s, f, l: early_conformer.apply(p, s, f, l, cfg))
     logp, _, _ = fn(params, state, feats, lengths)
     assert np.isfinite(np.asarray(logp)).all()
+
+
+def test_logits_head_mode_matches_log_softmax():
+    """apply(log_probs=False) returns raw logits whose log_softmax is the
+    default output, and greedy decode over either is identical."""
+    from early_exit_tpu.ops import ctc
+
+    cfg = TINY
+    params, state = early_conformer.init(jax.random.PRNGKey(0), cfg)
+    feats, lengths = _batch(cfg)
+    logp, sub_len, _ = early_conformer.apply(params, state, feats,
+                                             lengths, cfg)
+    logits, sub_len2, _ = early_conformer.apply(params, state, feats,
+                                                lengths, cfg,
+                                                log_probs=False)
+    np.testing.assert_array_equal(np.asarray(sub_len), np.asarray(sub_len2))
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)),
+        np.asarray(logp), atol=1e-5)
+    toks_a, n_a = ctc.greedy_decode(logp[-1], sub_len)
+    toks_b, n_b = ctc.greedy_decode(logits[-1], sub_len)
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
+    np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
