@@ -140,3 +140,18 @@ def test_zoo_bfloat16_forward():
         feats, lengths = _feats(cfg)
         logp, sub_len, _ = mod.apply(params, state, feats, lengths, cfg)
         assert _np.isfinite(_np.asarray(logp, _np.float32)).all()
+
+
+@pytest.mark.parametrize("mod,cfg", [(splitformer, SPLIT_TINY),
+                                     (zipformer, ZIP_TINY)])
+def test_logits_head_mode(mod, cfg):
+    """apply(log_probs=False) returns raw logits whose log_softmax is
+    the default output (greedy decode is argmax-identical on either)."""
+    p, s = mod.init(jax.random.PRNGKey(0), cfg)
+    feats, lengths = _feats(cfg)
+    lp, sl, _ = mod.apply(p, s, feats, lengths, cfg)
+    lg, sl2, _ = mod.apply(p, s, feats, lengths, cfg, log_probs=False)
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(sl2))
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.log_softmax(lg.astype(jnp.float32), -1)),
+        np.asarray(lp), atol=1e-5)
