@@ -121,19 +121,38 @@ class SyntheticDataset:
     The audio genuinely ENCODES the transcript: each character is an 80 ms
     tone at a character-specific frequency (plus noise), so a CTC model can
     actually learn to transcribe it — end-to-end convergence on this
-    corpus is a real learning test, not a fit to priors."""
+    corpus is a real learning test, not a fit to priors.
+
+    Difficulty knobs (defaults = the easy corpus used by tests/smoke):
+    - speaker_warp w: per-utterance frequency scale α ~ U[1-w, 1+w]
+      applied to every char tone — the absolute char↔frequency map
+      becomes ambiguous and the model must infer α from utterance
+      context (relative pitch), the synthetic analogue of vocal-tract
+      length variation
+    - dur_jitter j: per-char segment length scaled by U[1-j, 1+j]
+      (alignment uncertainty)
+    - amp_jitter a: per-char tone amplitude scaled by U[1-a, 1+a]
+    - noise: additive white noise σ (tone amplitude is 0.2, so 0.02 ≈
+      +20 dB SNR, 0.2 ≈ 0 dB)
+    With warp/jitter/low SNR the easy corpus' saturated 0.00% WER
+    ladder spreads into a depth-differentiating one (BENCH_NOTES.md
+    hard-corpus run)."""
 
     CHAR_MS = 80.0
 
     def __init__(self, n_items: int = 64, sample_rate: int = 16000,
                  seed: int = 0, min_words: int = 2, max_words: int = 12,
-                 noise: float = 0.02):
+                 noise: float = 0.02, speaker_warp: float = 0.0,
+                 dur_jitter: float = 0.0, amp_jitter: float = 0.0):
         self.n_items = n_items
         self.sample_rate = sample_rate
         self.seed = seed
         self.min_words = min_words
         self.max_words = max_words
         self.noise = noise
+        self.speaker_warp = speaker_warp
+        self.dur_jitter = dur_jitter
+        self.amp_jitter = amp_jitter
 
     def __len__(self) -> int:
         return self.n_items
@@ -151,13 +170,22 @@ class SyntheticDataset:
         n_words = rng.randint(self.min_words, self.max_words + 1)
         words = [_WORDS[rng.randint(len(_WORDS))] for _ in range(n_words)]
         text = " ".join(words)
-        seg = int(self.CHAR_MS / 1000.0 * self.sample_rate)
-        n = seg * len(text)
-        t = np.arange(seg) / self.sample_rate
-        wav = np.empty(n, np.float32)
-        for k, c in enumerate(text):
-            f = self._char_freq(c)
-            wav[k * seg:(k + 1) * seg] = 0.2 * np.sin(2 * np.pi * f * t)
-        wav += self.noise * rng.randn(n).astype(np.float32)
+        base_seg = self.CHAR_MS / 1000.0 * self.sample_rate
+        alpha = 1.0 + (rng.uniform(-self.speaker_warp, self.speaker_warp)
+                       if self.speaker_warp else 0.0)
+        segs = []
+        for c in text:
+            dur = base_seg * (1.0 + (rng.uniform(-self.dur_jitter,
+                                                 self.dur_jitter)
+                                     if self.dur_jitter else 0.0))
+            seg = max(int(dur), 1)
+            amp = 0.2 * (1.0 + (rng.uniform(-self.amp_jitter,
+                                            self.amp_jitter)
+                                if self.amp_jitter else 0.0))
+            f = self._char_freq(c) * alpha
+            t = np.arange(seg) / self.sample_rate
+            segs.append(amp * np.sin(2 * np.pi * f * t))
+        wav = np.concatenate(segs).astype(np.float32)
+        wav += self.noise * rng.randn(len(wav)).astype(np.float32)
         return Utterance(wav.astype(np.float32), self.sample_rate, text,
                          "0", "0", f"synth-{i}")

@@ -31,13 +31,17 @@ sys.path.insert(0, REPO)
 
 
 def make_corpus(root: str, split: str, n_items: int, seed: int,
-                min_words: int, max_words: int) -> float:
+                min_words: int, max_words: int, *, noise: float = 0.02,
+                speaker_warp: float = 0.0, dur_jitter: float = 0.0,
+                amp_jitter: float = 0.0) -> float:
     """Returns total audio seconds written."""
     from early_exit_tpu.data.flac import write_flac_verbatim
     from early_exit_tpu.data.librispeech import SyntheticDataset
 
     ds = SyntheticDataset(n_items=n_items, seed=seed, min_words=min_words,
-                          max_words=max_words)
+                          max_words=max_words, noise=noise,
+                          speaker_warp=speaker_warp,
+                          dur_jitter=dur_jitter, amp_jitter=amp_jitter)
     per_chapter = 64
     total_s = 0.0
     for i in range(n_items):
@@ -84,6 +88,14 @@ def main():
     ap.add_argument("--max_words", type=int, default=28)
     ap.add_argument("--seed", type=int, default=1,
                     help="corpus + init seed (repeat runs: vary this)")
+    ap.add_argument("--noise", type=float, default=0.02,
+                    help="additive noise sigma (0.2 tone amp; 0.2 = 0 dB)")
+    ap.add_argument("--speaker_warp", type=float, default=0.0,
+                    help="per-utterance frequency warp range (hard mode)")
+    ap.add_argument("--dur_jitter", type=float, default=0.0,
+                    help="per-char duration jitter range (hard mode)")
+    ap.add_argument("--amp_jitter", type=float, default=0.0,
+                    help="per-char amplitude jitter range (hard mode)")
     ap.add_argument("--platform", default=None,
                     help="EET_PLATFORM override (default: ambient = TPU)")
     ap.add_argument("--beam_size", type=int, default=10)
@@ -112,12 +124,14 @@ def main():
     marker = os.path.join(corpus, ".done")
     if not os.path.exists(marker):
         print("generating corpus ...", flush=True)
+        hard = dict(noise=args.noise, speaker_warp=args.speaker_warp,
+                    dur_jitter=args.dur_jitter, amp_jitter=args.amp_jitter)
         tr_s = make_corpus(corpus, "train-clean-100", args.n_train,
                            seed=1000 + 1, min_words=args.min_words,
-                           max_words=args.max_words)
+                           max_words=args.max_words, **hard)
         te_s = make_corpus(corpus, "test-clean", args.n_test, seed=2000 + 2,
                            min_words=args.min_words,
-                           max_words=args.max_words)
+                           max_words=args.max_words, **hard)
         with open(marker, "w") as f:
             json.dump({"train_audio_s": tr_s, "test_audio_s": te_s}, f)
     with open(marker) as f:
