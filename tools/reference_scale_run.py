@@ -13,6 +13,11 @@ utterance held-out split, plus epoch wall times.
     python tools/reference_scale_run.py --workdir /tmp/refscale \
         --n_train 6000 --n_test 240 --epochs 12
 
+CTC mode reports the greedy / lexicon-beam / prefix-beam / gated WER
+ladders (BASELINE configs #1, #2); `--decoder_mode aed` trains the
+full_conformer joint model and reports the AED beam ladder on the best
+checkpoint and on the reference-style checkpoint average (config #3).
+
 Defaults target the single real TPU chip (ambient platform); pass
 --platform cpu to keep a smoke run off the chip.
 """
@@ -111,12 +116,21 @@ def main():
                     help="CTC model family (early_zipformer forces the "
                          "reference's 19x1 single-exit layout, "
                          "README.md:61)")
+    ap.add_argument("--decoder_mode", default="ctc",
+                    choices=["ctc", "aed"],
+                    help="aed = full_conformer joint 0.7*CE+0.3*CTC at "
+                         "reference dims (6 exits x 2 enc layers, 6-layer "
+                         "decoder per exit), evaluated with the AED beam "
+                         "search (beam 10) and with checkpoint averaging "
+                         "(reference BASELINE config #3)")
     args = ap.parse_args()
 
     work = args.workdir
     corpus = os.path.join(work, "corpus")
     tag = (f"seed{args.seed}" if args.model_type == "early_conformer"
            else f"{args.model_type}_seed{args.seed}")
+    if args.decoder_mode == "aed":
+        tag = f"aed_seed{args.seed}"
     moddir = os.path.join(work, f"model_{tag}")
     log = os.path.join(work, f"log_{tag}.txt")
     os.makedirs(corpus, exist_ok=True)
@@ -134,6 +148,20 @@ def main():
                            max_words=args.max_words, **hard)
         with open(marker, "w") as f:
             json.dump({"train_audio_s": tr_s, "test_audio_s": te_s}, f)
+    # "test-other": the reference's harder eval split (inference.py:225)
+    # mapped to the synthetic corpus's hard-mode knobs — unseen speakers
+    # (frequency warp), timing/amplitude jitter, and 3x the noise.
+    marker_other = os.path.join(corpus, ".done_other")
+    if not os.path.exists(marker_other):
+        print("generating test-other ...", flush=True)
+        to_s = make_corpus(corpus, "test-other", args.n_test,
+                           seed=3000 + 3, min_words=args.min_words,
+                           max_words=args.max_words, noise=3 * args.noise,
+                           speaker_warp=max(args.speaker_warp, 0.1),
+                           dur_jitter=max(args.dur_jitter, 0.2),
+                           amp_jitter=max(args.amp_jitter, 0.3))
+        with open(marker_other, "w") as f:
+            json.dump({"test_other_audio_s": to_s}, f)
     with open(marker) as f:
         audio = json.load(f)
     print(f"corpus: {audio['train_audio_s']/3600:.2f} h train, "
@@ -156,14 +184,15 @@ def main():
         common += ["--n_enc_exits", "19", "--n_enc_layers_per_exit", "1"]
 
     summary = {"seed": args.seed, "model_type": args.model_type,
-               "epochs": args.epochs,
+               "decoder_mode": args.decoder_mode, "epochs": args.epochs,
                "n_train": args.n_train, "n_test": args.n_test,
+               "words_range": [args.min_words, args.max_words],
                "train_audio_h": round(audio["train_audio_s"] / 3600, 2),
                "compute_dtype": args.compute_dtype}
 
     if not args.skip_train:
         train_out = run([sys.executable, os.path.join(REPO, "train.py"),
-                         "--decoder_mode", "ctc",
+                         "--decoder_mode", args.decoder_mode,
                          "--n_epochs", str(args.epochs),
                          "--seed", str(args.seed),
                          "--save_model_dir", moddir, *common], env, log)
@@ -181,26 +210,71 @@ def main():
                    if f.startswith("mod") and f.endswith("-transformer"))
     ckpt = os.path.join(moddir, ckpts[-1])
     summary["checkpoint"] = ckpt
+    # the reference evaluates both splits (inference.py:225); test-other
+    # here is the hard-mode synthetic split (unseen warp/jitter/noise)
+    splits = "test-clean,test-other"
     infer_base = [sys.executable, os.path.join(REPO, "inference.py"),
-                  "--decoder_mode", "ctc", "--eval_splits", "test-clean",
+                  "--decoder_mode", args.decoder_mode,
+                  "--eval_splits", splits,
                   "--load_model_path", ckpt, *common]
 
-    out = run(infer_base + ["--decode", "greedy"], env, log)
-    summary["greedy_wer_pct"] = parse_wers(out)
-    n_utts = len(re.findall(r"test-clean EXPECTED:", out))
-    summary["eval_utts"] = n_utts
+    def both(out):
+        return {"test-clean": parse_wers(out, "test-clean"),
+                "test-other": parse_wers(out, "test-other")}
 
-    out = run(infer_base + ["--decode", "lexicon_beam",
-                            "--beam_size", str(args.beam_size)], env, log)
-    summary["lexicon_beam_wer_pct"] = parse_wers(out)
+    if args.decoder_mode == "aed":
+        # BASELINE config #3: AED beam search (beam 10) per exit, on the
+        # best checkpoint AND on the reference's checkpoint average
+        # (util/model_utils.py:15-48 semantics: missing epochs skipped).
+        out = run(infer_base + ["--beam_size", str(args.beam_size)],
+                  env, log)
+        summary["aed_beam_wer_pct"] = both(out)
+        summary["eval_utts"] = len(re.findall(r"test-clean EXPECTED:", out))
+        last_epoch = int(re.match(r"mod(\d+)-transformer", ckpts[-1])[1])
+        avg_base = [sys.executable, os.path.join(REPO, "inference.py"),
+                    "--decoder_mode", "aed", "--eval_splits", splits,
+                    "--load_model_dir", moddir,
+                    "--avg_model_start", "0",
+                    "--avg_model_end", str(last_epoch), *common]
+        out = run(avg_base + ["--beam_size", str(args.beam_size)],
+                  env, log)
+        summary["aed_beam_avg_wer_pct"] = both(out)
+        summary["avg_model_range"] = [0, last_epoch,
+                                      len(ckpts)]  # start, end, present
+    else:
+        out = run(infer_base + ["--decode", "greedy"], env, log)
+        summary["greedy_wer_pct"] = parse_wers(out)
+        summary["greedy_wer_other_pct"] = parse_wers(out, "test-other")
+        n_utts = len(re.findall(r"test-clean EXPECTED:", out))
+        summary["eval_utts"] = n_utts
 
-    out = run(infer_base + ["--decode", "greedy",
-                            "--exit_threshold", str(args.exit_threshold)],
-              env, log)
-    m = re.search(r"gated WER: ([0-9.]+)% \(mean exits run ([0-9.]+)", out)
-    if m:
-        summary["gated_wer_pct"] = float(m.group(1))
-        summary["gated_mean_exits"] = float(m.group(2))
+        out = run(infer_base + ["--decode", "lexicon_beam",
+                                "--beam_size", str(args.beam_size)],
+                  env, log)
+        summary["lexicon_beam_wer_pct"] = parse_wers(out)
+        summary["lexicon_beam_wer_other_pct"] = parse_wers(
+            out, "test-other")
+
+        # BASELINE config #2: the cuda_ctc_decoder equivalent — jittable
+        # prefix beam with blank-skip pruning (beam_infer.py:79-80 parity)
+        out = run(infer_base + ["--decode", "prefix_beam",
+                                "--beam_size", str(args.beam_size)],
+                  env, log)
+        summary["prefix_beam_wer_pct"] = parse_wers(out)
+        summary["prefix_beam_wer_other_pct"] = parse_wers(
+            out, "test-other")
+
+        out = run(infer_base + ["--decode", "greedy",
+                                "--exit_threshold",
+                                str(args.exit_threshold)], env, log)
+        for split in ("test-clean", "test-other"):
+            m = re.search(
+                rf"{split} gated WER: ([0-9.]+)% "
+                rf"\(mean exits run ([0-9.]+)", out)
+            if m:
+                key = "" if split == "test-clean" else "_other"
+                summary[f"gated{key}_wer_pct"] = float(m.group(1))
+                summary[f"gated{key}_mean_exits"] = float(m.group(2))
 
     out_path = os.path.join(work, f"summary_{tag}.json")
     with open(out_path, "w") as f:
