@@ -54,6 +54,31 @@ def test_synthetic_dataset_deterministic():
     assert len(a.waveform) > 1000
 
 
+def test_synthetic_hard_mode_knobs():
+    """Hard-mode knobs (speaker warp / duration / amplitude jitter) keep
+    the transcript and determinism; zeroed knobs are bit-identical to the
+    default constructor (the easy corpus used everywhere else)."""
+    easy = librispeech.SyntheticDataset(n_items=4, seed=3)
+    zeroed = librispeech.SyntheticDataset(
+        n_items=4, seed=3, speaker_warp=0.0, dur_jitter=0.0,
+        amp_jitter=0.0)
+    hard = librispeech.SyntheticDataset(
+        n_items=4, seed=3, speaker_warp=0.1, dur_jitter=0.2,
+        amp_jitter=0.3, noise=0.06)
+    for i in range(4):
+        np.testing.assert_array_equal(easy[i].waveform, zeroed[i].waveform)
+        # same seed/index -> same words, different audio realisation
+        assert hard[i].transcript == easy[i].transcript
+        assert (len(hard[i].waveform) != len(easy[i].waveform)
+                or not np.array_equal(hard[i].waveform, easy[i].waveform))
+        np.testing.assert_array_equal(hard[i].waveform, hard[i].waveform)
+    # deterministic across instances
+    hard2 = librispeech.SyntheticDataset(
+        n_items=4, seed=3, speaker_warp=0.1, dur_jitter=0.2,
+        amp_jitter=0.3, noise=0.06)
+    np.testing.assert_array_equal(hard[1].waveform, hard2[1].waveform)
+
+
 def test_pipeline_yields_model_ready_batches():
     ds = librispeech.SyntheticDataset(n_items=16, seed=0)
     tok = CharTokenizer()
