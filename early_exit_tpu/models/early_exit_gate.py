@@ -16,6 +16,12 @@ per-utterance halting.
 XLA notes: the while_loop body dynamic-slices the exit's layer parameters
 out of the stacked weights, so every iteration compiles once and shapes
 stay static.
+
+Supported encoders: early_conformer and splitformer (whose first/last
+exits additionally run the parallel downsampled branch, selected inside
+the loop by a `lax.cond` so non-branch exits pay nothing).
+early_zipformer is single-exit by construction (reference README.md:61)
+— there is nothing to gate; callers get a ValueError.
 """
 
 from __future__ import annotations
@@ -25,10 +31,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from early_exit_tpu.configs import ModelConfig
-from early_exit_tpu.models import conformer
+from early_exit_tpu.models import conformer, splitformer
 from early_exit_tpu.models.early_conformer import (_conformer_cfg,
                                                    frontend_embed)
 from early_exit_tpu.nn import core as nn
+
+GATED_MODEL_TYPES = ("early_conformer", "splitformer")
 
 
 def exit_confidence(log_probs: jax.Array, mask: jax.Array) -> jax.Array:
@@ -46,6 +54,11 @@ def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
     item_mask: optional (B,) 0/1 — rows padding the batch to a bucket
     size count as already satisfied (they have no valid frames, so their
     confidence is 0 and would otherwise force every exit to run)."""
+    if cfg.model_type not in GATED_MODEL_TYPES:
+        raise ValueError(
+            f"gated_apply supports {GATED_MODEL_TYPES}; "
+            f"{cfg.model_type!r} has a single output exit — nothing to "
+            "gate (reference README.md:61)")
     x, sub_len, mask = frontend_embed(params, feats, lengths, cfg,
                                       rng=None, train=False)
     ccfg = _conformer_cfg(cfg)
@@ -54,8 +67,21 @@ def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
     B, Tp, _ = x.shape
     V = cfg.vocab_size
 
+    is_split = cfg.model_type == "splitformer"
+    if is_split:
+        # first/last-exit parallel branches, stacked on a leading axis so
+        # the loop body can dynamic-index the right one (0 at exit 0,
+        # 1 at exit E-1 — splitformer.apply's `bi`)
+        par_p = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]),
+            params["parallel"][0], params["parallel"][1])
+        par_s = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]),
+            state["parallel"][0], state["parallel"][1])
+
     def run_exit(e, h):
-        """Run exit e's layer stack + head on hidden h."""
+        """Run exit e's layer stack (+ splitformer branch) + head."""
+        h_in = h                       # branch input: hidden BEFORE stack
         p_e = jax.tree_util.tree_map(
             lambda a: lax.dynamic_slice_in_dim(a, e * npe, npe, axis=0),
             params["blocks"])
@@ -63,6 +89,24 @@ def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
             lambda a: lax.dynamic_slice_in_dim(a, e * npe, npe, axis=0),
             state["blocks"])
         h, _ = conformer.stack_apply(p_e, s_e, h, mask, ccfg, train=False)
+        if is_split:
+            def with_branch(hs):
+                bi = jnp.where(e == 0, 0, 1)
+                pp = jax.tree_util.tree_map(
+                    lambda a: lax.dynamic_index_in_dim(a, bi, axis=0,
+                                                       keepdims=False),
+                    par_p)
+                ps = jax.tree_util.tree_map(
+                    lambda a: lax.dynamic_index_in_dim(a, bi, axis=0,
+                                                       keepdims=False),
+                    par_s)
+                y, _ = splitformer._branch(pp, ps, h_in, lengths, sub_len,
+                                           cfg, None, False)
+                out = hs + y
+                return (jnp.where(mask[..., None], out, 0.0)
+                        if mask is not None else out)
+            h = lax.cond(jnp.logical_or(e == 0, e == E - 1),
+                         with_branch, lambda hs: hs, h)
         head = jax.tree_util.tree_map(
             lambda a: lax.dynamic_index_in_dim(a, e, axis=0,
                                                keepdims=False),

@@ -72,6 +72,11 @@ def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
     """Confidence-gated dynamic early exit (--exit_threshold): each batch
     stops at the first exit whose confidence clears the threshold."""
     from early_exit_tpu.models import early_exit_gate
+    if model_cfg.model_type not in early_exit_gate.GATED_MODEL_TYPES:
+        sys.exit(f"--exit_threshold: gating needs a multi-exit encoder "
+                 f"({', '.join(early_exit_gate.GATED_MODEL_TYPES)}); "
+                 f"{model_cfg.model_type} emits a single exit "
+                 "(reference README.md:61)")
     thr = float(args.exit_threshold)
     gated = jax.jit(lambda p, s, f, l, im: early_exit_gate.gated_apply(
         p, s, f, l, model_cfg, threshold=thr, item_mask=im))
@@ -116,6 +121,10 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
     from early_exit_tpu.data import text as text_mod
     from early_exit_tpu.serving import StreamPool
 
+    if model_cfg.model_type != "early_conformer":
+        sys.exit("--streaming: the chunked-window recognizer runs the "
+                 "early_conformer trunk (serving/streaming.py); "
+                 f"{model_cfg.model_type} checkpoints are batch-only")
     if args.decode != "greedy" or args.lm_path:
         sys.exit("--streaming decodes greedily per chunk; it does not "
                  "combine with --decode beams or --lm_path (run without "
