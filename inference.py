@@ -245,10 +245,14 @@ def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
     else:
         decode = jax.jit(lambda lp, l: ctc_ops.greedy_decode(
             lp, l, blank=model_cfg.blank_id))
-    wers = [WerAccumulator() for _ in range(model_cfg.n_enc_exits)]
+    # sized from the model OUTPUT, not n_enc_exits: early_zipformer runs
+    # 19 blocks but emits a single exit (reference early_exit.py:117-224)
+    wers = None
     for batch in pipe.epoch(0):
         logp, sub_len = fwd(state["params"], state["model_state"],
                             batch["feats"], batch["feat_lengths"])
+        if wers is None:
+            wers = [WerAccumulator() for _ in range(logp.shape[0])]
         mask = np.asarray(batch["item_mask"]).astype(bool)
         labels = np.asarray(batch["labels"])
         lab_len = np.asarray(batch["label_lengths"])
@@ -283,7 +287,7 @@ def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
                     hyp = lex.apply(hyp)
                 print(split, "BEAM_OUT_", e + 1, ":", hyp)
                 wers[e].add(refs[b], hyp)
-    for e, acc in enumerate(wers):
+    for e, acc in enumerate(wers or []):
         print(f"{split} WER exit {e + 1}: {100 * acc.value:.2f}% "
               f"({acc.utterances} utts)")
 

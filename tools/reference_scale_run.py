@@ -264,17 +264,20 @@ def main():
         summary["prefix_beam_wer_other_pct"] = parse_wers(
             out, "test-other")
 
-        out = run(infer_base + ["--decode", "greedy",
-                                "--exit_threshold",
-                                str(args.exit_threshold)], env, log)
-        for split in ("test-clean", "test-other"):
-            m = re.search(
-                rf"{split} gated WER: ([0-9.]+)% "
-                rf"\(mean exits run ([0-9.]+)", out)
-            if m:
-                key = "" if split == "test-clean" else "_other"
-                summary[f"gated{key}_wer_pct"] = float(m.group(1))
-                summary[f"gated{key}_mean_exits"] = float(m.group(2))
+        if args.model_type != "early_zipformer":
+            # single-exit models have nothing to gate (inference.py
+            # rejects --exit_threshold for them)
+            out = run(infer_base + ["--decode", "greedy",
+                                    "--exit_threshold",
+                                    str(args.exit_threshold)], env, log)
+            for split in ("test-clean", "test-other"):
+                m = re.search(
+                    rf"{split} gated WER: ([0-9.]+)% "
+                    rf"\(mean exits run ([0-9.]+)", out)
+                if m:
+                    key = "" if split == "test-clean" else "_other"
+                    summary[f"gated{key}_wer_pct"] = float(m.group(1))
+                    summary[f"gated{key}_mean_exits"] = float(m.group(2))
 
     out_path = os.path.join(work, f"summary_{tag}.json")
     with open(out_path, "w") as f:
