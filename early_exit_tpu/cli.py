@@ -216,6 +216,17 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_left_context", type=int, default=1000,
                    help="Chunks of left context kept in dynamic-chunk "
                         "training (1000 = effectively unlimited).")
+    p.add_argument("--specaugment", type=_bool, default=False,
+                   help="SpecAugment masking at train time (beyond-"
+                        "reference; Park et al. 2019): frequency masks + "
+                        "adaptive time masks on the log-mel features.")
+    p.add_argument("--sa_freq_masks", type=int, default=2)
+    p.add_argument("--sa_freq_width", type=int, default=27,
+                   help="Max mel bins per frequency mask (of 80).")
+    p.add_argument("--sa_time_masks", type=int, default=2)
+    p.add_argument("--sa_time_frac", type=float, default=0.05,
+                   help="Max time-mask width as a fraction of each "
+                        "item's valid frames (adaptive masking).")
     return p
 
 
@@ -313,6 +324,11 @@ def get_args(argv=None, mode: str = "train"):
         distill_temperature=args.distill_temperature,
         dynamic_chunk=args.dynamic_chunk_training,
         chunk_left=args.chunk_left_context,
+        specaugment=args.specaugment,
+        sa_freq_masks=args.sa_freq_masks,
+        sa_freq_width=args.sa_freq_width,
+        sa_time_masks=args.sa_time_masks,
+        sa_time_frac=args.sa_time_frac,
         seed=args.seed)
     audio_cfg = AudioConfig(
         sample_rate=args.sample_rate, n_fft=args.n_fft,

@@ -92,6 +92,14 @@ class TrainConfig:
     # (serving/streaming.py). early_conformer CTC mode only.
     dynamic_chunk: bool = False
     chunk_left: int = 1000    # chunks of left context kept (1000 ≈ all)
+    # SpecAugment masking (beyond-reference; ops/specaugment.py) —
+    # frequency masks of width U[0, w], adaptive time masks of width
+    # U[0, frac·valid_len] per item
+    specaugment: bool = False
+    sa_freq_masks: int = 2
+    sa_freq_width: int = 27
+    sa_time_masks: int = 2
+    sa_time_frac: float = 0.05
     seed: int = 0
 
 

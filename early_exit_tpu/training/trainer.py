@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from early_exit_tpu.configs import ModelConfig, TrainConfig
-from early_exit_tpu.ops import ctc
+from early_exit_tpu.ops import ctc, specaugment
 
 
 TrainState = Dict[str, Any]   # {"params", "model_state", "opt_state", "step"}
@@ -152,11 +152,20 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
 
     def loss_fn(params, model_state, batch, rng):
         item_mask = batch.get("item_mask")
+        feats = batch["feats"]
+        if train_cfg.specaugment:
+            rng, r_sa = jax.random.split(rng)
+            feats = specaugment.apply(
+                r_sa, feats, batch["feat_lengths"],
+                n_freq_masks=train_cfg.sa_freq_masks,
+                freq_mask_width=train_cfg.sa_freq_width,
+                n_time_masks=train_cfg.sa_time_masks,
+                time_mask_frac=train_cfg.sa_time_frac)
         if aed:
             trg = batch["labels"][:, :-1]
             trg_expect = batch["labels"][:, 1:]
             dec_logits, enc_logp, sub_len, new_state = model.apply(
-                params, model_state, batch["feats"], batch["feat_lengths"],
+                params, model_state, feats, batch["feat_lengths"],
                 trg, model_cfg, rng=rng, train=True)
             loss_ctc, per_exit = ctc_multi_exit_loss(
                 enc_logp, sub_len, batch["labels"], batch["label_lengths"],
@@ -180,12 +189,12 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
             return total, (per_exit, new_state)
         extra = {}
         if dynamic_chunk:
-            t = batch["feats"].shape[1]
+            t = feats.shape[1]
             t_sub = ((t - 3) // 2 + 1 - 3) // 2 + 1   # two VALID k=3 s=2
             rng, r_mask = jax.random.split(rng)
             extra["attn_mask"] = _sample_attn_mask(t_sub, r_mask)
         log_probs, sub_len, new_state = model.apply(
-            params, model_state, batch["feats"], batch["feat_lengths"],
+            params, model_state, feats, batch["feat_lengths"],
             model_cfg, rng=rng, train=True, **extra)
         total, per_exit = ctc_multi_exit_loss(
             log_probs, sub_len, batch["labels"], batch["label_lengths"],
