@@ -107,6 +107,9 @@ def main():
     ap.add_argument("--exit_threshold", type=float, default=0.85)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint in workdir")
+    ap.add_argument("--specaugment", action="store_true",
+                    help="train with SpecAugment masking (pairs with the "
+                         "hard-mode corpus knobs for a robustness A/B)")
     ap.add_argument("--compute_dtype", default="bfloat16",
                     help="production profile (bfloat16 matmuls / fp32 "
                          "softmax+norms); float32 for parity debugging")
@@ -184,6 +187,7 @@ def main():
         common += ["--n_enc_exits", "19", "--n_enc_layers_per_exit", "1"]
 
     summary = {"seed": args.seed, "model_type": args.model_type,
+               "specaugment": args.specaugment,
                "decoder_mode": args.decoder_mode, "epochs": args.epochs,
                "n_train": args.n_train, "n_test": args.n_test,
                "words_range": [args.min_words, args.max_words],
@@ -191,11 +195,13 @@ def main():
                "compute_dtype": args.compute_dtype}
 
     if not args.skip_train:
+        sa = (["--specaugment", "true"] if args.specaugment else [])
         train_out = run([sys.executable, os.path.join(REPO, "train.py"),
                          "--decoder_mode", args.decoder_mode,
                          "--n_epochs", str(args.epochs),
                          "--seed", str(args.seed),
-                         "--save_model_dir", moddir, *common], env, log)
+                         "--save_model_dir", moddir, *sa, *common],
+                        env, log)
         losses = [float(m) for m in re.findall(
             r"LOSS_TOTAL-\d+ := ([0-9.]+)", train_out)]
         epoch_s = [float(m) for m in re.findall(
