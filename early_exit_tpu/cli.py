@@ -161,6 +161,14 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Confidence-gated dynamic early exit: stop at the "
                         "first exit whose mean max-prob exceeds this "
                         "(beyond-reference feature).")
+    p.add_argument("--gate_score", type=str, default="maxprob",
+                   choices=["maxprob", "margin", "negentropy"],
+                   help="Confidence statistic for the gate "
+                        "(models/early_exit_gate.exit_confidence).")
+    p.add_argument("--gate_calibration", type=str, default=None,
+                   help="JSON from tools/calibrate_gate.py: per-exit "
+                        "temperatures + thresholds (and the fitted "
+                        "score) override --exit_threshold/--gate_score.")
 
     # performance profile (TPU-native). "auto" resolves per entry point:
     # training keeps fp32 attention softmax + FFT mel; inference uses the

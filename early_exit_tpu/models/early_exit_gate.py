@@ -39,21 +39,59 @@ from early_exit_tpu.nn import core as nn
 GATED_MODEL_TYPES = ("early_conformer", "splitformer")
 
 
-def exit_confidence(log_probs: jax.Array, mask: jax.Array) -> jax.Array:
-    """(B, T', V) log-probs, (B, T') validity -> (B,) mean max-prob."""
-    max_p = jnp.exp(jnp.max(log_probs, axis=-1))          # (B, T')
+GATE_SCORES = ("maxprob", "margin", "negentropy")
+
+
+def exit_confidence(log_probs: jax.Array, mask: jax.Array,
+                    score: str = "maxprob") -> jax.Array:
+    """(B, T', V) log-probs, (B, T') validity -> (B,) confidence in [0, 1].
+
+    score selects the per-frame statistic (masked-mean over valid frames):
+      maxprob    — max posterior probability (the round-2 default).
+      margin     — top-1 minus top-2 probability: separates "peaked on one
+                   token" from "split between two", which maxprob conflates.
+      negentropy — 1 - H/log V: uses the whole distribution, the most
+                   sensitive of the three to the flat tails that
+                   out-of-distribution inputs produce (BENCH_NOTES.md
+                   documents maxprob overconfidence under domain shift).
+    """
+    if score == "maxprob":
+        frame = jnp.exp(jnp.max(log_probs, axis=-1))       # (B, T')
+    elif score == "margin":
+        top2 = lax.top_k(log_probs, 2)[0]                  # (B, T', 2)
+        frame = jnp.exp(top2[..., 0]) - jnp.exp(top2[..., 1])
+    elif score == "negentropy":
+        p = jnp.exp(log_probs)
+        ent = -jnp.sum(p * log_probs, axis=-1)             # (B, T')
+        frame = 1.0 - ent / jnp.log(float(log_probs.shape[-1]))
+    else:
+        raise ValueError(f"score must be one of {GATE_SCORES}: {score!r}")
     m = mask.astype(jnp.float32)
-    return jnp.sum(max_p * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return jnp.sum(frame * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
 
 
 def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
-                threshold: float, item_mask=None):
+                threshold, item_mask=None, score: str = "maxprob",
+                temperatures=None):
     """Returns (log_probs (B, T', V) of each item's chosen exit,
     chosen_exit (B,) 1-based, sub_len (B,), n_exits_run ()).
 
+    threshold: scalar, or a per-exit sequence of length n_enc_exits
+    (tools/calibrate_gate.py fits per-exit thresholds on held-out data —
+    shallow exits are systematically more overconfident than deep ones,
+    so one shared threshold either over-escalates or under-escalates).
+
     item_mask: optional (B,) 0/1 — rows padding the batch to a bucket
     size count as already satisfied (they have no valid frames, so their
-    confidence is 0 and would otherwise force every exit to run)."""
+    confidence is 0 and would otherwise force every exit to run).
+
+    score: confidence statistic, see exit_confidence.
+
+    temperatures: optional per-exit sequence; exit e's CONFIDENCE is
+    computed from softmax(logits / temperatures[e]) (standard temperature
+    calibration). The returned log-probs for decoding stay unscaled —
+    greedy argmax is temperature-invariant and beams should see the
+    model's true posterior."""
     if cfg.model_type not in GATED_MODEL_TYPES:
         raise ValueError(
             f"gated_apply supports {GATED_MODEL_TYPES}; "
@@ -66,6 +104,10 @@ def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
     E = cfg.n_enc_exits
     B, Tp, _ = x.shape
     V = cfg.vocab_size
+
+    thr = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32), (E,))
+    temps = (None if temperatures is None else
+             jnp.broadcast_to(jnp.asarray(temperatures, jnp.float32), (E,)))
 
     is_split = cfg.model_type == "splitformer"
     if is_split:
@@ -112,8 +154,13 @@ def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
                                                keepdims=False),
             params["heads"])
         logits = nn.linear(head, h, compute_dtype=cfg.dtype)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return h, logp
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if temps is None:
+            conf_lp = logp
+        else:
+            conf_lp = jax.nn.log_softmax(logits / temps[e], axis=-1)
+        return h, logp, exit_confidence(conf_lp, mask, score)
 
     def cond(carry):
         e, h, chosen_lp, chosen_exit, done = carry
@@ -121,9 +168,8 @@ def gated_apply(params, state, feats, lengths, cfg: ModelConfig, *,
 
     def body(carry):
         e, h, chosen_lp, chosen_exit, done = carry
-        h, logp = run_exit(e, h)
-        conf = exit_confidence(logp, mask)
-        ok = jnp.logical_or(conf >= threshold, e == E - 1)
+        h, logp, conf = run_exit(e, h)
+        ok = jnp.logical_or(conf >= thr[e], e == E - 1)
         newly = jnp.logical_and(~done, ok)
         chosen_lp = jnp.where(newly[:, None, None], logp, chosen_lp)
         chosen_exit = jnp.where(newly, e + 1, chosen_exit)

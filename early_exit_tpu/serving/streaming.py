@@ -103,9 +103,10 @@ def _embed_window(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
 
 def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
                blank: int, causal_attention: bool,
-               with_confidence: bool = False):
+               with_confidence: bool = False,
+               gate_score: str = "maxprob"):
     key = (repr(mcfg), repr(acfg), Ls, Cs, blank, causal_attention,
-           with_confidence)
+           with_confidence, gate_score)
     if key in _WINDOW_CACHE:
         return _WINDOW_CACHE[key]
 
@@ -134,7 +135,8 @@ def _window_fn(mcfg: ModelConfig, acfg: AudioConfig, Ls: int, Cs: int,
         from early_exit_tpu.models.early_exit_gate import exit_confidence
         cmask = mask[:, Ls:Ls + Cs]
         conf = jnp.where(jnp.any(cmask, axis=1),
-                         exit_confidence(logp[:, Ls:Ls + Cs], cmask), 1.0)
+                         exit_confidence(logp[:, Ls:Ls + Cs], cmask,
+                                         gate_score), 1.0)
         return best[:, Ls:Ls + Cs], conf
 
     _WINDOW_CACHE[key] = window_forward
@@ -208,7 +210,7 @@ class StreamingRecognizer:
                  right_s: float = 0.32, n_exit: Optional[int] = None,
                  blank: Optional[int] = None, causal_attention: bool = False,
                  exit_threshold: Optional[float] = None, fast_exit: int = 1,
-                 all_exits: bool = False,
+                 gate_score: str = "maxprob", all_exits: bool = False,
                  _shared_weights=None, _shared_fast_weights=None):
         self.acfg = audio_cfg or AudioConfig()
         self.mcfg = model_cfg
@@ -265,6 +267,7 @@ class StreamingRecognizer:
                   f"{fast_exit} must be < n_exit={self.n_exit})")
             exit_threshold = None
         self.exit_threshold = exit_threshold
+        self.gate_score = gate_score
         self.fast_exit = fast_exit
         self.exits_run: List[int] = []     # per-chunk exit actually used
         if exit_threshold is not None:
@@ -274,7 +277,8 @@ class StreamingRecognizer:
             self._fast_forward = _window_fn(model_cfg, self.acfg, self.Ls,
                                             self.Cs, self.blank,
                                             causal_attention,
-                                            with_confidence=True)
+                                            with_confidence=True,
+                                            gate_score=gate_score)
         self._buf: List[np.ndarray] = []
         self._buf_offset = 0          # stream index of _buf[0][0]
         self._n_samples = 0

@@ -17,6 +17,7 @@ heuristic (inference.py:36-41), KV-cached.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -77,9 +78,26 @@ def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
                  f"({', '.join(early_exit_gate.GATED_MODEL_TYPES)}); "
                  f"{model_cfg.model_type} emits a single exit "
                  "(reference README.md:61)")
-    thr = float(args.exit_threshold)
+    score, temps = args.gate_score, None
+    if args.gate_calibration is not None:
+        # per-exit temperatures + thresholds fitted by
+        # tools/calibrate_gate.py on held-out data
+        with open(args.gate_calibration) as f:
+            calib = json.load(f)
+        thr = [float(t) for t in calib["thresholds"]]
+        if len(thr) != model_cfg.n_enc_exits:
+            sys.exit(f"--gate_calibration: {len(thr)} thresholds for a "
+                     f"{model_cfg.n_enc_exits}-exit model")
+        score = calib.get("score", score)
+        temps = calib.get("temperatures")
+        print(f"gate calibration: score={score} thresholds="
+              f"{[round(t, 3) for t in thr]} (from "
+              f"{args.gate_calibration})")
+    else:
+        thr = float(args.exit_threshold)
     gated = jax.jit(lambda p, s, f, l, im: early_exit_gate.gated_apply(
-        p, s, f, l, model_cfg, threshold=thr, item_mask=im))
+        p, s, f, l, model_cfg, threshold=thr, item_mask=im,
+        score=score, temperatures=temps))
     decode = jax.jit(lambda lp, l: ctc_ops.greedy_decode(
         lp, l, blank=model_cfg.blank_id))
     acc = WerAccumulator()
@@ -164,6 +182,7 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
                                     else args.streaming_causal == "true"))
         if gated:
             kw["exit_threshold"] = float(args.exit_threshold)
+            kw["gate_score"] = args.gate_score
         else:
             kw["all_exits"] = True
         pool = StreamPool(len(group), state["params"],
@@ -396,7 +415,8 @@ def main(argv=None):
             if args.streaming:
                 run_ctc_streaming(model_cfg, state, ds, split, tokenizer,
                                   lex, args, audio_cfg)
-            elif args.exit_threshold is not None:
+            elif (args.exit_threshold is not None
+                  or args.gate_calibration is not None):
                 run_ctc_gated(model_cfg, state, pipe, split, tokenizer,
                               lex, args)
             else:
