@@ -1,0 +1,214 @@
+"""Import reference (torch) checkpoints into this framework.
+
+The reference saves plain ``state_dict`` tensors (train.py:125); its
+encoders are built from torchaudio's ``Conformer``
+(models/model/early_exit.py:16, :603-615), whose module layout — and
+therefore state_dict naming — is:
+
+    conformer_layers.{l}.ffn1.sequential.{0 LN, 1 Linear, 4 Linear}
+    conformer_layers.{l}.self_attn_layer_norm
+    conformer_layers.{l}.self_attn.{in_proj_weight, in_proj_bias, out_proj}
+    conformer_layers.{l}.conv_module.layer_norm
+    conformer_layers.{l}.conv_module.sequential.{0 pw-Conv1d, 2 dw-Conv1d,
+                                                 3 BatchNorm1d, 5 pw-Conv1d}
+    conformer_layers.{l}.ffn2.sequential.{0, 1, 4}
+    conformer_layers.{l}.final_layer_norm
+
+This module maps those tensors onto our JAX pytrees — transposing torch's
+(out, in) linears to our (in, out), torch's (out, in, k) convs to our
+"WIO" (k, in, out), splitting MultiheadAttention's packed in_proj into
+q/k/v, and stacking per-layer leaves onto the leading scan axis. Every
+source tensor must be consumed (unknown keys are an error, so a mismatched
+model type fails loudly); the positional-encoding buffer is recomputed,
+not loaded (models/embedding/positional_encoding.py:54-63 — same
+sinusoid as nn.sinusoidal_pe, pinned by tests/test_reference_parity.py).
+
+Supported: Early_conformer, Splitformer, Early_zipformer (the CTC model
+zoo). The AED full_conformer adds per-exit hand-rolled decoders; import
+for it is not implemented (track in ROADMAP.md).
+
+Use `tools/import_reference_checkpoint.py` for the CLI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+__all__ = ["from_reference_state_dict"]
+
+_IGNORED_SUFFIXES = ("num_batches_tracked",)
+_IGNORED_KEYS = ("positional_encoder.pe",)
+
+
+class _Reader:
+    """Tracks key consumption so leftovers fail loudly."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = {k: np.asarray(v, np.float32)
+                   if np.asarray(v).dtype.kind == "f" else np.asarray(v)
+                   for k, v in sd.items()}
+        self.used = set()
+
+    def take(self, key: str, shape=None) -> np.ndarray:
+        if key not in self.sd:
+            raise KeyError(f"reference state_dict is missing {key!r} — "
+                           "wrong --model_type or architecture flags?")
+        self.used.add(key)
+        t = self.sd[key]
+        if shape is not None and tuple(t.shape) != tuple(shape):
+            raise ValueError(f"{key}: shape {tuple(t.shape)} != expected "
+                             f"{tuple(shape)} — check d_model/"
+                             "d_feed_forward/vocab/kernel flags")
+        return t.astype(np.float32)
+
+    def finish(self):
+        left = [k for k in self.sd
+                if k not in self.used
+                and k not in _IGNORED_KEYS
+                and not k.endswith(_IGNORED_SUFFIXES)]
+        if left:
+            raise ValueError(
+                "unmapped reference tensors (wrong model type?): "
+                + ", ".join(sorted(left)[:8])
+                + (" ..." if len(left) > 8 else ""))
+
+
+def _linear(r: _Reader, pre: str, d_in: int, d_out: int):
+    return {"w": r.take(pre + ".weight", (d_out, d_in)).T.copy(),
+            "b": r.take(pre + ".bias", (d_out,))}
+
+
+def _layer_norm(r: _Reader, pre: str, d: int):
+    return {"g": r.take(pre + ".weight", (d,)),
+            "b": r.take(pre + ".bias", (d,))}
+
+
+def _conv1d(r: _Reader, pre: str, c_in: int, c_out: int, k: int):
+    # torch (out, in, k) -> WIO (k, in, out)
+    return {"w": r.take(pre + ".weight",
+                        (c_out, c_in, k)).transpose(2, 1, 0).copy(),
+            "b": r.take(pre + ".bias", (c_out,))}
+
+
+def _ffn(r: _Reader, pre: str, d: int, ff: int):
+    return {"ln": _layer_norm(r, pre + ".sequential.0", d),
+            "w1": _linear(r, pre + ".sequential.1", d, ff),
+            "w2": _linear(r, pre + ".sequential.4", ff, d)}
+
+
+def _mha(r: _Reader, pre: str, d: int):
+    w = r.take(pre + ".in_proj_weight", (3 * d, d))
+    b = r.take(pre + ".in_proj_bias", (3 * d,))
+    out = {}
+    for i, name in enumerate(("q", "k", "v")):
+        out[name] = {"w": w[i * d:(i + 1) * d].T.copy(),
+                     "b": b[i * d:(i + 1) * d].copy()}
+    out["o"] = _linear(r, pre + ".out_proj", d, d)
+    return out
+
+
+def _block(r: _Reader, pre: str, d: int, ff: int, k: int):
+    """One torchaudio ConformerLayer -> (our block params, block state)."""
+    cm = pre + ".conv_module"
+    params = {
+        "ffn1": _ffn(r, pre + ".ffn1", d, ff),
+        "attn": {"ln": _layer_norm(r, pre + ".self_attn_layer_norm", d),
+                 "mha": _mha(r, pre + ".self_attn", d)},
+        "conv": {
+            "ln": _layer_norm(r, cm + ".layer_norm", d),
+            # pointwise convs are (out, in, 1) -> our Linear (in, out)
+            "pw1": {"w": r.take(cm + ".sequential.0.weight",
+                                (2 * d, d, 1))[:, :, 0].T.copy(),
+                    "b": r.take(cm + ".sequential.0.bias", (2 * d,))},
+            # depthwise (C, 1, k) -> ours (k, 1, C)
+            "dw": {"w": r.take(cm + ".sequential.2.weight",
+                               (d, 1, k)).transpose(2, 1, 0).copy(),
+                   "b": r.take(cm + ".sequential.2.bias", (d,))},
+            "norm": {"g": r.take(cm + ".sequential.3.weight", (d,)),
+                     "b": r.take(cm + ".sequential.3.bias", (d,))},
+            "pw2": {"w": r.take(cm + ".sequential.5.weight",
+                                (d, d, 1))[:, :, 0].T.copy(),
+                    "b": r.take(cm + ".sequential.5.bias", (d,))},
+        },
+        "ffn2": _ffn(r, pre + ".ffn2", d, ff),
+        "final_ln": _layer_norm(r, pre + ".final_layer_norm", d),
+    }
+    state = {"conv_bn": {
+        "mean": r.take(cm + ".sequential.3.running_mean", (d,)),
+        "var": r.take(cm + ".sequential.3.running_var", (d,))}}
+    return params, state
+
+
+def _stack(pairs):
+    """[(params, state), ...] -> leaves stacked on a leading axis."""
+    import jax
+    params = jax.tree_util.tree_map(lambda *xs: np.stack(xs),
+                                    *[p for p, _ in pairs])
+    state = jax.tree_util.tree_map(lambda *xs: np.stack(xs),
+                                   *[s for _, s in pairs])
+    return params, state
+
+
+def _blocks_of(r, fmt, n_blocks, npe, d, ff, k):
+    """Reference blocks fmt.format(block) each holding npe ConformerLayers,
+    flattened in block-major order (matching conformer.stack_init)."""
+    pairs = []
+    for b in range(n_blocks):
+        for l in range(npe):
+            pairs.append(_block(r, f"{fmt.format(b)}.conformer_layers.{l}",
+                                d, ff, k))
+    return _stack(pairs)
+
+
+def from_reference_state_dict(sd: Dict[str, np.ndarray], cfg):
+    """state_dict of the reference Early_conformer / Splitformer /
+    Early_zipformer (early_exit.py:565/227/117) -> (params, state) for
+    the matching model in our zoo (same ModelConfig contract)."""
+    r = _Reader(sd)
+    d, ff, k = cfg.d_model, cfg.d_feed_forward, cfg.depthwise_kernel_size
+    E, npe, V = cfg.n_enc_exits, cfg.n_enc_layers_per_exit, cfg.vocab_size
+
+    if cfg.model_type == "early_zipformer":
+        from early_exit_tpu.models.zipformer import STACK
+        blocks = [2] + list(STACK)          # pre + the 5 U-Net stages
+        assert E == sum(blocks), "n_enc_exits checked by zipformer.init"
+        params = {"subsample": {"convs": [
+            _conv1d(r, "conv_subsample.conv", cfg.n_mels, d, 3)]}}
+        state = {}
+        off = 0
+        trees = []
+        for n in blocks:
+            # consecutive reference blocks off..off+n, npe layers each
+            ps, ss = _stack([
+                _block(r, f"conformer.{b}.conformer_layers.{l}", d, ff, k)
+                for b in range(off, off + n) for l in range(npe)])
+            trees.append((ps, ss))
+            off += n
+        params["pre"], state["pre"] = trees[0]
+        params["stages"] = [t[0] for t in trees[1:]]
+        state["stages"] = [t[1] for t in trees[1:]]
+        params["head"] = _linear(r, "linear", d, V)
+        r.finish()
+        return params, state
+
+    if cfg.model_type not in ("early_conformer", "splitformer"):
+        raise ValueError(f"no reference import for {cfg.model_type!r} "
+                         "(AED full_conformer import not implemented)")
+
+    sub = {"convs": [_conv1d(r, "conv_subsample.sequential.0",
+                             cfg.n_mels, d, 3),
+                     _conv1d(r, "conv_subsample.sequential.1", d, d, 3)]}
+    block_p, block_s = _blocks_of(r, "conformer.{}", E, npe, d, ff, k)
+    heads = _stack([(_linear(r, f"linears.{e}", d, V), {}) for e in
+                    range(E)])[0]
+    params = {"subsample": sub, "blocks": block_p, "heads": heads}
+    state = {"blocks": block_s}
+    if cfg.model_type == "splitformer":
+        par = [_block(r, f"conformer_parallel.{i}.conformer_layers.0",
+                      d, ff, k) for i in range(2)]
+        params["parallel"] = [p for p, _ in par]
+        state["parallel"] = [s for _, s in par]
+    r.finish()
+    return params, state

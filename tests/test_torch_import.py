@@ -1,0 +1,263 @@
+"""Reference-checkpoint import (early_exit_tpu/interop.py).
+
+torchaudio is not installed here, so these tests carry a pure-torch
+replica of torchaudio's ``Conformer`` module layout (torchaudio
+models/conformer.py: _FeedForwardModule / _ConvolutionModule /
+ConformerLayer — same Sequential indices, same parameter names, bias=True
+convs, BatchNorm1d, convolution_first=False) wrapped exactly like the
+reference's Early_conformer (models/model/early_exit.py:565-634):
+Conv1dSubampling → PositionalEncoding → per exit [Conformer stack +
+Linear head + log_softmax]. A random-init replica's state_dict must
+import and reproduce the torch forward numerically (full-length batches:
+padding semantics intentionally differ — we zero padded frames between
+blocks, torchaudio lets convs read them; conformer.py docstring)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn  # noqa: E402
+
+import jax  # noqa: E402
+
+from early_exit_tpu import interop  # noqa: E402
+from early_exit_tpu.configs import ModelConfig  # noqa: E402
+from early_exit_tpu.models import early_conformer, splitformer  # noqa: E402
+
+
+# ---------- pure-torch replica of the torchaudio layout ----------
+
+class _FFN(nn.Module):
+    def __init__(self, d, ff, p=0.1):
+        super().__init__()
+        self.sequential = nn.Sequential(
+            nn.LayerNorm(d), nn.Linear(d, ff), nn.SiLU(), nn.Dropout(p),
+            nn.Linear(ff, d), nn.Dropout(p))
+
+    def forward(self, x):
+        return self.sequential(x)
+
+
+class _ConvModule(nn.Module):
+    def __init__(self, d, k, p=0.1):
+        super().__init__()
+        self.layer_norm = nn.LayerNorm(d)
+        self.sequential = nn.Sequential(
+            nn.Conv1d(d, 2 * d, 1, bias=True),
+            nn.GLU(dim=1),
+            nn.Conv1d(d, d, k, padding=(k - 1) // 2, groups=d, bias=True),
+            nn.BatchNorm1d(d),
+            nn.SiLU(),
+            nn.Conv1d(d, d, 1, bias=True),
+            nn.Dropout(p))
+
+    def forward(self, x):                       # (B, T, D)
+        x = self.layer_norm(x)
+        x = x.transpose(1, 2)
+        x = self.sequential(x)
+        return x.transpose(1, 2)
+
+
+class _ConformerLayer(nn.Module):
+    def __init__(self, d, ff, heads, k, p=0.1):
+        super().__init__()
+        self.ffn1 = _FFN(d, ff, p)
+        self.self_attn_layer_norm = nn.LayerNorm(d)
+        self.self_attn = nn.MultiheadAttention(d, heads, dropout=p)
+        self.self_attn_dropout = nn.Dropout(p)
+        self.conv_module = _ConvModule(d, k, p)
+        self.ffn2 = _FFN(d, ff, p)
+        self.final_layer_norm = nn.LayerNorm(d)
+
+    def forward(self, x, key_padding_mask):     # (T, B, D)
+        residual = x
+        x = self.ffn1(x) * 0.5 + residual
+        residual = x
+        y = self.self_attn_layer_norm(x)
+        y, _ = self.self_attn(y, y, y, key_padding_mask=key_padding_mask,
+                              need_weights=False)
+        x = self.self_attn_dropout(y) + residual
+        residual = x
+        x = residual + self.conv_module(x.transpose(0, 1)).transpose(0, 1)
+        residual = x
+        x = self.ffn2(x) * 0.5 + residual
+        return self.final_layer_norm(x)
+
+
+class _Conformer(nn.Module):
+    """torchaudio Conformer: ModuleList named conformer_layers."""
+
+    def __init__(self, d, ff, heads, k, num_layers, p=0.1):
+        super().__init__()
+        self.conformer_layers = nn.ModuleList(
+            [_ConformerLayer(d, ff, heads, k, p) for _ in range(num_layers)])
+
+    def forward(self, x, lengths):              # (B, T, D)
+        T = x.size(1)
+        pad = (torch.arange(T)[None, :] >= lengths[:, None])
+        x = x.transpose(0, 1)
+        for layer in self.conformer_layers:
+            x = layer(x, pad)
+        return x.transpose(0, 1), lengths
+
+
+class _Subsample(nn.Module):                    # reference Conv1dSubampling
+    def __init__(self, c_in, c_out):
+        super().__init__()
+        self.sequential = nn.Sequential(
+            nn.Conv1d(c_in, c_out, 3, stride=2, padding=0),
+            nn.Conv1d(c_out, c_out, 3, stride=2, padding=0))
+
+    def forward(self, x):
+        return self.sequential(x)
+
+
+class _PE(nn.Module):                           # reference PositionalEncoding
+    def __init__(self, d, max_len=5000):
+        super().__init__()
+        position = torch.arange(max_len).unsqueeze(1)
+        div = torch.exp(torch.arange(0, d, 2) * (-math.log(10000.0) / d))
+        pe = torch.zeros(max_len, 1, d)
+        pe[:, 0, 0::2] = torch.sin(position * div)
+        pe[:, 0, 1::2] = torch.cos(position * div)
+        self.register_buffer("pe", pe)
+
+    def forward(self, x):                       # (B, T, D)
+        x = x.permute(1, 0, 2)
+        x = x + self.pe[:x.size(0)]
+        return x.permute(1, 0, 2)
+
+
+class _RefEarlyConformer(nn.Module):
+    """Reference Early_conformer wiring (early_exit.py:565-634)."""
+
+    def __init__(self, cfg, parallel=False):
+        super().__init__()
+        d, ff = cfg.d_model, cfg.d_feed_forward
+        self.conv_subsample = _Subsample(cfg.n_mels, d)
+        self.positional_encoder = _PE(d)
+        self.linears = nn.ModuleList(
+            [nn.Linear(d, cfg.vocab_size) for _ in range(cfg.n_enc_exits)])
+        self.conformer = nn.ModuleList(
+            [_Conformer(d, ff, cfg.n_heads, cfg.depthwise_kernel_size,
+                        cfg.n_enc_layers_per_exit)
+             for _ in range(cfg.n_enc_exits)])
+        if parallel:                            # Splitformer extras
+            self.conformer_parallel = nn.ModuleList(
+                [_Conformer(d, ff, cfg.n_heads, cfg.depthwise_kernel_size,
+                            1) for _ in range(2)])
+
+    def forward(self, feats, lengths):          # feats (B, n_mels, T)
+        src = self.conv_subsample(feats)
+        src = self.positional_encoder(src.permute(0, 2, 1))
+        length = torch.clamp(lengths / 4, max=src.size(1)).to(torch.int)
+        outs = []
+        enc = src
+        for linear, stack in zip(self.linears, self.conformer):
+            enc, _ = stack(enc, length)
+            outs.append(torch.nn.functional.log_softmax(linear(enc),
+                                                        dim=2)[None])
+        return torch.cat(outs)
+
+
+CFG = ModelConfig(d_model=32, n_heads=4, d_feed_forward=48,
+                  n_enc_exits=2, n_enc_layers_per_exit=2,
+                  depthwise_kernel_size=7, vocab_size=11, n_mels=9,
+                  compute_dtype="float32", length_mode="reference")
+# the import tool resolves vocab from the tokenizer (char = 32)
+CFG2 = ModelConfig(**{**CFG.__dict__, "vocab_size": 32})
+
+
+def _torch_model_and_sd(cfg, parallel=False, seed=0):
+    torch.manual_seed(seed)
+    m = _RefEarlyConformer(cfg, parallel=parallel).eval()
+    # non-trivial BatchNorm running stats so the import of state is tested
+    with torch.no_grad():
+        m.train()
+        for _ in range(3):
+            m(torch.randn(2, cfg.n_mels, 61), torch.tensor([61, 61]))
+        m.eval()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    return m, sd
+
+
+def test_early_conformer_import_matches_torch_forward():
+    m, sd = _torch_model_and_sd(CFG)
+    params, state = interop.from_reference_state_dict(sd, CFG)
+    B, T = 2, 61
+    torch.manual_seed(1)
+    feats_t = torch.randn(B, CFG.n_mels, T)
+    with torch.no_grad():
+        want = m(feats_t, torch.tensor([T, T])).numpy()
+    got, sub_len, _ = early_conformer.apply(
+        params, state, np.asarray(feats_t.numpy().transpose(0, 2, 1)),
+        np.asarray([T, T]), CFG, train=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_splitformer_parallel_blocks_imported():
+    cfg = ModelConfig(**{**CFG.__dict__, "model_type": "splitformer"})
+    m, sd = _torch_model_and_sd(cfg, parallel=True)
+    params, state = interop.from_reference_state_dict(sd, cfg)
+    assert len(params["parallel"]) == 2
+    # trunk weights identical to the early_conformer mapping of the
+    # same tensors; parallel branch consumed (finish() would have
+    # raised otherwise). Forward runs:
+    out, sub_len, _ = splitformer.apply(
+        params, state, np.zeros((1, 61, cfg.n_mels), np.float32),
+        np.asarray([61]), cfg, train=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unknown_keys_rejected():
+    _, sd = _torch_model_and_sd(CFG)
+    sd["decoders.0.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        interop.from_reference_state_dict(sd, CFG)
+
+
+def test_missing_keys_rejected():
+    _, sd = _torch_model_and_sd(CFG)
+    del sd["linears.1.weight"]
+    with pytest.raises(KeyError, match="linears.1.weight"):
+        interop.from_reference_state_dict(sd, CFG)
+
+
+def test_shape_mismatch_rejected():
+    _, sd = _torch_model_and_sd(CFG)
+    bad = ModelConfig(**{**CFG.__dict__, "d_feed_forward": 64})
+    with pytest.raises(ValueError, match="shape"):
+        interop.from_reference_state_dict(sd, bad)
+
+
+def test_import_tool_end_to_end(tmp_path):
+    import tools.import_reference_checkpoint as tool
+
+    # the tool resolves vocab from the tokenizer (--bpe false -> 32)
+    _, sd = _torch_model_and_sd(CFG2)
+    pt = os.path.join(tmp_path, "mod007-transformer")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, pt)
+    out = os.path.join(tmp_path, "imported")
+    tool.main(["--torch_ckpt", pt, "--out", out,
+               "--decoder_mode", "ctc", "--bpe", "false",
+               "--d_model", "32", "--n_heads", "4",
+               "--d_feed_forward", "48", "--n_enc_exits", "2",
+               "--n_enc_layers_per_exit", "2",
+               "--depthwise_kernel_size", "7", "--n_mels", "9",
+               "--compute_dtype", "float32",
+               "--length_mode", "reference"])
+    assert os.path.exists(out)
+    # loadable through the standard checkpoint path
+    from early_exit_tpu.training import checkpoint
+    t_params, t_state = early_conformer.init(jax.random.PRNGKey(0), CFG2)
+    params, state = checkpoint.load_model_file(out, t_params, t_state)
+    o, _, _ = early_conformer.apply(
+        params, state, np.zeros((1, 61, CFG2.n_mels), np.float32),
+        np.asarray([61]), CFG2, train=False)
+    assert np.isfinite(np.asarray(o)).all()
+
+
