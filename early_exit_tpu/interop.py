@@ -23,9 +23,10 @@ model type fails loudly); the positional-encoding buffer is recomputed,
 not loaded (models/embedding/positional_encoding.py:54-63 — same
 sinusoid as nn.sinusoidal_pe, pinned by tests/test_reference_parity.py).
 
-Supported: Early_conformer, Splitformer, Early_zipformer (the CTC model
-zoo). The AED full_conformer adds per-exit hand-rolled decoders; import
-for it is not implemented (track in ROADMAP.md).
+Supported: Early_conformer, Splitformer, Early_zipformer and the AED
+full_conformer (whose torch TransformerDecoders map via _decoder_layer;
+the shared final LayerNorm module appears in the state_dict once per
+decoder plus once as `layer_norm` — all aliases of one tensor).
 
 Use `tools/import_reference_checkpoint.py` for the CLI.
 """
@@ -39,7 +40,8 @@ import numpy as np
 __all__ = ["from_reference_state_dict"]
 
 _IGNORED_SUFFIXES = ("num_batches_tracked",)
-_IGNORED_KEYS = ("positional_encoder.pe",)
+_IGNORED_KEYS = ("positional_encoder.pe", "positional_encoder_1.pe",
+                 "positional_encoder_2.pe")
 
 
 class _Reader:
@@ -162,6 +164,60 @@ def _blocks_of(r, fmt, n_blocks, npe, d, ff, k):
     return _stack(pairs)
 
 
+def _decoder_layer(r: _Reader, pre: str, d: int, ff: int):
+    """torch.nn.TransformerDecoderLayer (norm_first) -> our
+    transformer_decoder.layer_init layout."""
+    return {
+        "ln1": _layer_norm(r, pre + ".norm1", d),
+        "self_attn": _mha(r, pre + ".self_attn", d),
+        "ln2": _layer_norm(r, pre + ".norm2", d),
+        "cross_attn": _mha(r, pre + ".multihead_attn", d),
+        "ln3": _layer_norm(r, pre + ".norm3", d),
+        "w1": _linear(r, pre + ".linear1", d, ff),
+        "w2": _linear(r, pre + ".linear2", ff, d),
+    }
+
+
+def _full_conformer(r: _Reader, cfg, d, ff, k, E, npe, V):
+    """Reference full_conformer (early_exit.py:637-811): per-exit
+    encoder stacks + CTC heads (linears_1) + torch TransformerDecoders
+    with output heads (linears_2), a shared token embedding and a
+    SHARED final LayerNorm (one module registered as `layer_norm` AND as
+    every decoder's `norm` — all copies of the same tensor)."""
+    import jax
+
+    sub = {"convs": [_conv1d(r, "conv_subsample.sequential.0",
+                             cfg.n_mels, d, 3),
+                     _conv1d(r, "conv_subsample.sequential.1", d, d, 3)]}
+    block_p, block_s = _blocks_of(r, "conformer.{}", E, npe, d, ff, k)
+    ctc_heads = _stack([(_linear(r, f"linears_1.{e}", d, V), {})
+                        for e in range(E)])[0]
+    out_heads = _stack([(_linear(r, f"linears_2.{e}", d, V), {})
+                        for e in range(E)])[0]
+    nd = cfg.n_dec_layers
+    per_exit = []
+    for e in range(E):
+        layers = [_decoder_layer(r, f"decoders.{e}.layers.{l}", d, ff)
+                  for l in range(nd)]
+        per_exit.append(jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *layers))
+        # each decoder registers the shared final LN under its own path
+        r.take(f"decoders.{e}.norm.weight", (d,))
+        r.take(f"decoders.{e}.norm.bias", (d,))
+    decoders = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per_exit)
+    params = {
+        "subsample": sub,
+        "blocks": block_p,
+        "heads": ctc_heads,
+        "emb": {"table": r.take("emb.weight", (V, d))},
+        "decoders": decoders,
+        "out_linear": out_heads,
+        "final_ln": _layer_norm(r, "layer_norm", d),
+    }
+    r.finish()
+    return params, {"blocks": block_s}
+
+
 def from_reference_state_dict(sd: Dict[str, np.ndarray], cfg):
     """state_dict of the reference Early_conformer / Splitformer /
     Early_zipformer (early_exit.py:565/227/117) -> (params, state) for
@@ -193,9 +249,11 @@ def from_reference_state_dict(sd: Dict[str, np.ndarray], cfg):
         r.finish()
         return params, state
 
+    if cfg.model_type == "full_conformer":
+        return _full_conformer(r, cfg, d, ff, k, E, npe, V)
+
     if cfg.model_type not in ("early_conformer", "splitformer"):
-        raise ValueError(f"no reference import for {cfg.model_type!r} "
-                         "(AED full_conformer import not implemented)")
+        raise ValueError(f"no reference import for {cfg.model_type!r}")
 
     sub = {"convs": [_conv1d(r, "conv_subsample.sequential.0",
                              cfg.n_mels, d, 3),

@@ -261,3 +261,94 @@ def test_import_tool_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(o)).all()
 
 
+
+
+# ---------- AED full_conformer import ----------
+
+class _RefFullConformer(nn.Module):
+    """Reference full_conformer wiring (early_exit.py:637-811): per-exit
+    encoder stacks + CTC heads + torch TransformerDecoders sharing ONE
+    final LayerNorm module (registered as `layer_norm` and as each
+    decoder's `norm`)."""
+
+    def __init__(self, cfg, n_dec_layers=2):
+        super().__init__()
+        d, ff, E = cfg.d_model, cfg.d_feed_forward, cfg.n_enc_exits
+        self.layer_norm = nn.LayerNorm(d, eps=1e-5)
+        self.emb = nn.Embedding(cfg.vocab_size, d)
+        self.conv_subsample = _Subsample(cfg.n_mels, d)
+        self.linears_1 = nn.ModuleList(
+            [nn.Linear(d, cfg.vocab_size) for _ in range(E)])
+        self.linears_2 = nn.ModuleList(
+            [nn.Linear(d, cfg.vocab_size) for _ in range(E)])
+        self.positional_encoder_1 = _PE(d)
+        self.positional_encoder_2 = _PE(d)
+        self.conformer = nn.ModuleList(
+            [_Conformer(d, ff, cfg.n_heads, cfg.depthwise_kernel_size,
+                        cfg.n_enc_layers_per_exit) for _ in range(E)])
+        self.decoders = nn.ModuleList(
+            [nn.TransformerDecoder(
+                nn.TransformerDecoderLayer(
+                    d_model=d, nhead=cfg.n_heads, dim_feedforward=ff,
+                    dropout=0.1, batch_first=True, norm_first=True),
+                n_dec_layers, self.layer_norm) for _ in range(E)])
+        self.trg_pad_idx = cfg.pad_id
+
+    def forward(self, src, lengths, trg):
+        src = self.conv_subsample(src)
+        src = self.positional_encoder_1(src.permute(0, 2, 1))
+        length = torch.clamp(lengths / 4, max=src.size(1)).to(torch.int)
+        L = trg.size(1)
+        tgt_mask = torch.triu(torch.full((L, L), float("-inf")), diagonal=1)
+        tgt_kpm = trg == self.trg_pad_idx
+        x = self.positional_encoder_2(self.emb(trg))
+        enc = src
+        enc_out, dec_out = [], []
+        for lin1, lin2, stack, dec in zip(self.linears_1, self.linears_2,
+                                          self.conformer, self.decoders):
+            enc, _ = stack(enc, length)
+            enc_out.append(
+                torch.nn.functional.log_softmax(lin1(enc), dim=2)[None])
+            y = dec(x, enc, tgt_mask=tgt_mask,
+                    tgt_key_padding_mask=tgt_kpm)
+            dec_out.append(
+                torch.nn.functional.log_softmax(lin2(y), dim=2)[None])
+        return torch.cat(enc_out), torch.cat(dec_out)
+
+
+def test_full_conformer_import_matches_torch_forward():
+    from early_exit_tpu.models import full_conformer
+
+    cfg = ModelConfig(**{**CFG.__dict__, "model_type": "full_conformer",
+                         "n_dec_layers": 2, "pad_id": 9, "vocab_size": 11})
+    torch.manual_seed(3)
+    m = _RefFullConformer(cfg, n_dec_layers=2).eval()
+    with torch.no_grad():
+        m.train()
+        for _ in range(2):
+            m(torch.randn(2, cfg.n_mels, 61), torch.tensor([61, 61]),
+              torch.tensor([[1, 4, 5, 2], [1, 6, 2, 9]]))
+        m.eval()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    params, state = interop.from_reference_state_dict(sd, cfg)
+
+    B, T = 2, 61
+    torch.manual_seed(4)
+    feats_t = torch.randn(B, cfg.n_mels, T)
+    trg = torch.tensor([[1, 4, 5, 2], [1, 6, 2, 9]])   # row 2 pad-tailed
+    with torch.no_grad():
+        want_enc, want_dec = m(feats_t, torch.tensor([T, T]), trg)
+    dec_logits, enc_lp, sub_len, _ = full_conformer.apply(
+        params, state, np.asarray(feats_t.numpy().transpose(0, 2, 1)),
+        np.asarray([T, T]), np.asarray(trg.numpy()), cfg, train=False)
+    got_dec = jax.nn.log_softmax(
+        np.asarray(dec_logits, np.float32), axis=-1)
+    np.testing.assert_allclose(np.asarray(enc_lp), want_enc.numpy(),
+                               atol=2e-4)
+    # padded target rows produce garbage at pad positions in both
+    # implementations but are masked from the loss; compare valid ones
+    valid = (trg != cfg.pad_id).numpy()
+    np.testing.assert_allclose(
+        np.asarray(got_dec)[:, valid.nonzero()[0], valid.nonzero()[1]],
+        want_dec.numpy()[:, valid.nonzero()[0], valid.nonzero()[1]],
+        atol=3e-4)
