@@ -10,9 +10,11 @@ host-side numpy (calibration is a one-off, not a hot path):
 
   * temperature scaling (Guo et al. 2017): per exit, pick T minimizing
     the NLL of utterance-correctness under the scaled confidence;
-  * per-exit threshold selection: the smallest threshold whose accepted
-    set's corpus WER stays within `target_wer_delta` of the final
-    exit's WER — i.e. calibrate the OPERATING POINT, not just the score.
+  * sequential threshold fitting: exits are cut in gate order so that
+    the SIMULATED gated corpus WER stays within `target_wer_delta` of
+    the final exit's — calibrating the operating point with a guarantee
+    that holds under composition (per-exit accepted-set constraints
+    alone do not compose; see fit_sequential_thresholds).
 
 `tools/calibrate_gate.py` drives this end to end and writes a JSON
 consumed by `inference.py --gate_calibration`.
@@ -102,6 +104,59 @@ def pick_threshold(conf: np.ndarray, errors: np.ndarray,
     thr = float(conf[order[best - 1]])
     acc_wer = float(cum_err[best - 1] / cum_wrd[best - 1])
     return thr, best / n, acc_wer
+
+
+def fit_sequential_thresholds(conf: np.ndarray, errors: np.ndarray,
+                              words: np.ndarray, target_wer: float):
+    """Fit per-exit thresholds so the SIMULATED gated corpus WER on this
+    set is <= target_wer — guaranteed, not per-exit-hoped.
+
+    Per-exit accepted-set constraints (pick_threshold) do not compose:
+    each exit's accepted set can individually meet the target while their
+    union under sequential gating exceeds it. This fitter walks exits in
+    gate order, keeping the invariant "errors committed so far + the
+    final exit's errors on everything still unaccepted <= target": exit
+    e's threshold is the loosest cut of the REMAINING utterances that
+    preserves it. At e=0 with nothing accepted the invariant is the
+    final-exit WER itself, which satisfies any target >= it, so a valid
+    (possibly fully-escalating) setting always exists.
+
+    conf, errors: (E, N); words: (N,). Returns thresholds list (the last
+    exit's is 0.0 — it must accept)."""
+    conf = np.asarray(conf, np.float64)
+    errors = np.asarray(errors, np.float64)
+    words = np.asarray(words, np.float64)
+    E, N = conf.shape
+    total_words = max(float(words.sum()), 1.0)
+    budget = target_wer * total_words + 1e-9      # allowed total errors
+    committed = 0.0
+    remaining = np.ones(N, bool)
+    thresholds = []
+    for e in range(E - 1):
+        idx = np.flatnonzero(remaining)
+        order = idx[np.argsort(-conf[e, idx])]
+        # errors if the gate stops here for a prefix, final exit for rest
+        rest_final = errors[E - 1, idx].sum()
+        cum_here = np.cumsum(errors[e, order])
+        cum_final = np.cumsum(errors[E - 1, order])
+        # accepting prefix k: committed + cum_here[k-1]
+        #                     + (rest_final - cum_final[k-1])
+        ok = committed + cum_here + (rest_final - cum_final) <= budget
+        best = 0
+        for k in np.flatnonzero(ok) + 1:
+            if (k < len(order)
+                    and conf[e, order[k]] == conf[e, order[k - 1]]):
+                continue                          # tie crosses the cut
+            best = max(best, int(k))
+        if best == 0:
+            thresholds.append(2.0)
+            continue
+        thresholds.append(float(conf[e, order[best - 1]]))
+        accepted = order[:best]
+        committed += errors[e, accepted].sum()
+        remaining[accepted] = False
+    thresholds.append(0.0)                        # final exit accepts
+    return thresholds
 
 
 def simulate_gate(conf: np.ndarray, thresholds: Sequence[float],

@@ -90,6 +90,9 @@ def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
                      f"{model_cfg.n_enc_exits}-exit model")
         score = calib.get("score", score)
         temps = calib.get("temperatures")
+        if temps is not None and len(temps) != model_cfg.n_enc_exits:
+            sys.exit(f"--gate_calibration: {len(temps)} temperatures for "
+                     f"a {model_cfg.n_enc_exits}-exit model")
         print(f"gate calibration: score={score} thresholds="
               f"{[round(t, 3) for t in thr]} (from "
               f"{args.gate_calibration})")
@@ -147,6 +150,12 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
         sys.exit("--streaming decodes greedily per chunk; it does not "
                  "combine with --decode beams or --lm_path (run without "
                  "--streaming for those)")
+    if args.gate_calibration is not None:
+        sys.exit("--streaming gates per CHUNK at one fast exit "
+                 "(--exit_threshold [--gate_score]); the per-exit "
+                 "calibrated thresholds of --gate_calibration are fitted "
+                 "on whole-utterance confidence and do not apply — run "
+                 "without --streaming to use them")
     S = max(int(args.batch_size), 1)
     n_exit = model_cfg.n_enc_exits
     gated = args.exit_threshold is not None

@@ -255,3 +255,56 @@ def test_calibrate_gate_tool_roundtrip(tmp_path):
         temperatures=calib["temperatures"], score=calib["score"])
     assert 1 <= int(n_run) <= cfg.n_enc_exits
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_sequential_thresholds_compose_where_per_exit_do_not():
+    """Adversarial case: each exit's accepted set individually meets the
+    target, but the sequential union exceeds it — the sequential fitter
+    must tighten. 3 utts x 10 words, target corpus WER 0.1."""
+    conf = np.asarray([[0.9, 0.8, 0.1],     # exit 1 would accept u1,u2
+                       [0.9, 0.1, 0.8],     # exit 2 would accept u1,u3
+                       [0.9, 0.9, 0.9]])
+    errors = np.asarray([[0.0, 2.0, 9.0],
+                         [0.0, 9.0, 2.0],
+                         [0.0, 0.0, 0.0]])
+    words = np.asarray([10.0, 10.0, 10.0])
+    # per-exit constraints pass individually (2/20 = 0.1 each)...
+    t1, _, _ = gc.pick_threshold(conf[0], errors[0], words, 0.1)
+    t2, _, _ = gc.pick_threshold(conf[1], errors[1], words, 0.1)
+    assert t1 == 0.8 and t2 == 0.8
+    # ...but compose to (2+2)/30 > 0.1
+    _, wer_naive, _ = gc.simulate_gate(conf, [t1, t2, 0.0], errors, words)
+    assert wer_naive > 0.1
+    thr = gc.fit_sequential_thresholds(conf, errors, words, 0.1)
+    mean_exit, wer, _ = gc.simulate_gate(conf, thr, errors, words)
+    assert wer <= 0.1 + 1e-9
+    assert mean_exit < 3.0           # still accepts something early
+
+
+def test_sequential_thresholds_all_clean_accepts_everything_early():
+    conf = np.asarray([[0.9, 0.8], [0.9, 0.9]])
+    errors = np.zeros((2, 2))
+    words = np.asarray([10.0, 10.0])
+    thr = gc.fit_sequential_thresholds(conf, errors, words, 0.0)
+    mean_exit, wer, chosen = gc.simulate_gate(conf, thr, errors, words)
+    assert mean_exit == 1.0 and wer == 0.0
+
+
+def test_sequential_thresholds_respect_budget_with_noise():
+    """Random instances: the guarantee must hold exactly on the
+    calibration set for any target."""
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        E, N = 4, 60
+        conf = rng.uniform(size=(E, N))
+        errors = (rng.uniform(size=(E, N)) < 0.3) * \
+            rng.randint(1, 5, size=(E, N))
+        errors[-1] *= rng.uniform(size=N) < 0.2    # deep exit is better
+        words = rng.randint(5, 20, size=N).astype(float)
+        final_wer = errors[-1].sum() / words.sum()
+        for delta in (0.0, 0.02, 0.1):
+            target = final_wer + delta
+            thr = gc.fit_sequential_thresholds(conf, errors, words,
+                                               target)
+            _, wer, _ = gc.simulate_gate(conf, thr, errors, words)
+            assert wer <= target + 1e-9, (trial, delta)

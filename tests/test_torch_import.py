@@ -352,3 +352,104 @@ def test_full_conformer_import_matches_torch_forward():
         np.asarray(got_dec)[:, valid.nonzero()[0], valid.nonzero()[1]],
         want_dec.numpy()[:, valid.nonzero()[0], valid.nonzero()[1]],
         atol=3e-4)
+
+
+# ---------- early_zipformer import ----------
+
+class _RefZipformer(nn.Module):
+    """Reference Early_zipformer wiring (early_exit.py:117-224):
+    Conv1dSubampling_Zipformer (attr `conv`) -> PE -> 2 full-rate blocks
+    -> 5 U-Net stages (pad to factor, downsample, stack, upsample,
+    unpad, residual) -> output downsample(2) -> one Linear head."""
+
+    FACTORS = [2, 4, 8, 4, 2]
+    STACK = [2, 4, 5, 4, 2]
+
+    def __init__(self, cfg):
+        super().__init__()
+        d, ff = cfg.d_model, cfg.d_feed_forward
+        self.conv_subsample = nn.Module()
+        self.conv_subsample.conv = nn.Conv1d(cfg.n_mels, d, 3, stride=2)
+        self.positional_encoder = _PE(d)
+        self.linear = nn.Linear(d, cfg.vocab_size)
+        n_blocks = 2 + sum(self.STACK)
+        self.conformer = nn.ModuleList(
+            [_Conformer(d, ff, cfg.n_heads, cfg.depthwise_kernel_size,
+                        cfg.n_enc_layers_per_exit)
+             for _ in range(n_blocks)])
+
+    def forward(self, src, lengths):            # src (B, n_mels, T)
+        src = self.conv_subsample.conv(src)
+        src = self.positional_encoder(src.permute(0, 2, 1))
+        base = torch.clamp(lengths / 2, max=src.size(1)).to(torch.int)
+        enc, _ = self.conformer[0](src, base)
+        enc, _ = self.conformer[1](enc, base)
+        for idx in range(len(self.STACK)):
+            skip = enc
+            factor = self.FACTORS[idx]
+            ci = 2 + sum(self.STACK[:idx])
+            pad = enc.size(1) % factor
+            if pad != 0:
+                pad = factor - pad
+                enc = torch.cat(
+                    (enc, torch.zeros(enc.size(0), pad, enc.size(2))), 1)
+            enc = enc[:, ::factor, :]
+            length = torch.clamp((lengths + pad) / factor,
+                                 max=enc.size(1)).to(torch.int)
+            for i in range(ci, ci + self.STACK[idx]):
+                enc, _ = self.conformer[i](enc, length)
+            enc = torch.repeat_interleave(enc, factor, dim=1)
+            if pad != 0:
+                enc = enc[:, :-pad, :]
+            enc = enc + skip
+        out = self.linear(enc[:, ::2, :])
+        return torch.nn.functional.log_softmax(out, dim=2)[None]
+
+
+def test_zipformer_import_matches_torch_forward():
+    from early_exit_tpu.models import zipformer
+
+    cfg = ModelConfig(**{**CFG.__dict__, "model_type": "early_zipformer",
+                         "n_enc_exits": 19, "n_enc_layers_per_exit": 1})
+    torch.manual_seed(5)
+    m = _RefZipformer(cfg).eval()
+    with torch.no_grad():
+        m.train()
+        m(torch.randn(2, cfg.n_mels, 127), torch.tensor([127, 127]))
+        m.eval()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    params, state = interop.from_reference_state_dict(sd, cfg)
+
+    B, T = 2, 127                       # odd T: clamp(len/2) == conv T'
+    torch.manual_seed(6)
+    feats_t = torch.randn(B, cfg.n_mels, T)
+    with torch.no_grad():
+        want = m(feats_t, torch.tensor([T, T])).numpy()
+    got, out_len, _ = zipformer.apply(
+        params, state, np.asarray(feats_t.numpy().transpose(0, 2, 1)),
+        np.asarray([T, T]), cfg, train=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4)
+
+
+def test_import_tool_aed_end_to_end(tmp_path):
+    """The tool's smoke forward must handle full_conformer's
+    (feats, lengths, trg) signature (regression: it crashed)."""
+    import tools.import_reference_checkpoint as tool
+    from early_exit_tpu.cli import get_args
+
+    flags = ["--decoder_mode", "aed", "--bpe", "false",
+             "--d_model", "32", "--n_heads", "4",
+             "--d_feed_forward", "48", "--n_enc_exits", "2",
+             "--n_enc_layers_per_exit", "2", "--n_dec_layers", "2",
+             "--depthwise_kernel_size", "7", "--n_mels", "9",
+             "--compute_dtype", "float32", "--length_mode", "reference"]
+    _, model_cfg, _, _, _ = get_args(flags, mode="infer")
+    torch.manual_seed(7)
+    m = _RefFullConformer(model_cfg, n_dec_layers=2).eval()
+    sd = m.state_dict()
+    pt = os.path.join(tmp_path, "mod001-transformer")
+    torch.save(sd, pt)
+    out = os.path.join(tmp_path, "imported-aed")
+    tool.main(["--torch_ckpt", pt, "--out", out] + flags)
+    assert os.path.exists(out)

@@ -165,33 +165,34 @@ def main(argv=None):
               "per_score": {}}
     best = None
     for si, score in enumerate(scores):
-        temperatures, thresholds, stats = [], [], []
+        temperatures, stats = [], []
         for e in range(E):
             correct = (errors[e] == 0).astype(np.float64)
             ki = gate_calibration.fit_temperature(conf[si, :, e], temps,
                                                   correct)
-            c = conf[si, ki, e]
-            thr, acc_rate, acc_wer = gate_calibration.pick_threshold(
-                c, errors[e], words, target)
             temperatures.append(temps[ki])
-            thresholds.append(thr)
             stats.append({
                 "exit": e + 1, "temperature": round(temps[ki], 4),
-                "threshold": round(thr, 6),
-                "accept_rate": round(acc_rate, 4),
-                "accepted_wer_pct": (None if np.isnan(acc_wer)
-                                     else round(100 * acc_wer, 2)),
                 "exit_wer_pct": round(
                     100 * errors[e].sum() / max(words.sum(), 1.0), 2),
                 "ece_raw": round(gate_calibration.ece(
-                    conf[si, temps.index(1.0) if 1.0 in temps
-                         else ki, e], correct), 4),
-                "ece_cal": round(gate_calibration.ece(c, correct), 4),
+                    conf[si, temps.index(1.0), e], correct), 4),
+                "ece_cal": round(gate_calibration.ece(conf[si, ki, e],
+                                                      correct), 4),
             })
         cal_conf = np.stack([conf[si, temps.index(t), e]
                              for e, t in enumerate(temperatures)])
-        mean_exit, gated_wer, _ = gate_calibration.simulate_gate(
+        # thresholds are fitted SEQUENTIALLY so the simulated gated WER
+        # is guaranteed <= target on this set (per-exit accepted-set
+        # constraints do not compose; gate_calibration docstring)
+        thresholds = gate_calibration.fit_sequential_thresholds(
+            cal_conf, errors, words, target)
+        mean_exit, gated_wer, chosen = gate_calibration.simulate_gate(
             cal_conf, thresholds, errors, words)
+        for e in range(E):
+            stats[e]["threshold"] = round(thresholds[e], 6)
+            stats[e]["accept_share"] = round(
+                float(np.mean(chosen == e + 1)), 4)
         entry = {"temperatures": temperatures, "thresholds": thresholds,
                  "mean_exit": round(mean_exit, 3),
                  "gated_wer_pct": round(100 * gated_wer, 2),

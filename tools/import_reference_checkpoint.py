@@ -14,8 +14,9 @@ train.py — same architecture flags as the reference CLI:
 The mapped tree is validated leaf-by-leaf (structure + shapes) against
 the target model's init template before saving, and a forward pass is
 run on dummy audio as a smoke check. Supported model types:
-early_conformer, splitformer, early_zipformer (see early_exit_tpu/
-interop.py for the exact tensor mapping and the AED exclusion).
+early_conformer, splitformer, early_zipformer, and (via
+--decoder_mode aed) the AED full_conformer (see early_exit_tpu/
+interop.py for the exact tensor mapping).
 """
 
 from __future__ import annotations
@@ -74,9 +75,17 @@ def main(argv=None):
 
     # smoke: one forward on dummy audio-shaped features
     feats = np.zeros((1, 63, model_cfg.n_mels), np.float32)
-    out, sub_len, _ = model.apply(params, state, feats,
-                                  np.asarray([63]), model_cfg, train=False)
-    print(f"forward ok: exits x (B, T', V) = {tuple(out.shape)}")
+    if model_cfg.model_type == "full_conformer":
+        trg = np.asarray([[model_cfg.bos_id, model_cfg.eos_id]])
+        dec, out, sub_len, _ = model.apply(params, state, feats,
+                                           np.asarray([63]), trg,
+                                           model_cfg, train=False)
+        print(f"forward ok: enc {tuple(out.shape)} dec {tuple(dec.shape)}")
+    else:
+        out, sub_len, _ = model.apply(params, state, feats,
+                                      np.asarray([63]), model_cfg,
+                                      train=False)
+        print(f"forward ok: exits x (B, T', V) = {tuple(out.shape)}")
 
     checkpoint.save_pytree({"params": params, "model_state": state},
                            tool_args.out)
