@@ -37,7 +37,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["from_reference_state_dict"]
+__all__ = ["from_reference_state_dict", "to_reference_state_dict"]
 
 _IGNORED_SUFFIXES = ("num_batches_tracked",)
 _IGNORED_KEYS = ("positional_encoder.pe", "positional_encoder_1.pe",
@@ -270,3 +270,171 @@ def from_reference_state_dict(sd: Dict[str, np.ndarray], cfg):
         state["parallel"] = [s for _, s in par]
     r.finish()
     return params, state
+
+
+# ---------------------------------------------------------------------------
+# Export (the exact inverse): our pytrees -> reference state_dict
+# ---------------------------------------------------------------------------
+
+class _Writer:
+    def __init__(self):
+        self.sd: Dict[str, np.ndarray] = {}
+
+    def put(self, key: str, arr):
+        self.sd[key] = np.ascontiguousarray(np.asarray(arr, np.float32))
+
+
+def _w_linear(w: _Writer, pre: str, p):
+    w.put(pre + ".weight", np.asarray(p["w"]).T)
+    w.put(pre + ".bias", p["b"])
+
+
+def _w_layer_norm(w: _Writer, pre: str, p):
+    w.put(pre + ".weight", p["g"])
+    w.put(pre + ".bias", p["b"])
+
+
+def _w_conv1d(w: _Writer, pre: str, p):
+    w.put(pre + ".weight", np.asarray(p["w"]).transpose(2, 1, 0))
+    w.put(pre + ".bias", p["b"])
+
+
+def _w_ffn(w: _Writer, pre: str, p):
+    _w_layer_norm(w, pre + ".sequential.0", p["ln"])
+    _w_linear(w, pre + ".sequential.1", p["w1"])
+    _w_linear(w, pre + ".sequential.4", p["w2"])
+
+
+def _w_mha(w: _Writer, pre: str, p):
+    w.put(pre + ".in_proj_weight",
+          np.concatenate([np.asarray(p[n]["w"]).T for n in ("q", "k", "v")]))
+    w.put(pre + ".in_proj_bias",
+          np.concatenate([np.asarray(p[n]["b"]) for n in ("q", "k", "v")]))
+    _w_linear(w, pre + ".out_proj", p["o"])
+
+
+def _w_block(w: _Writer, pre: str, p, s):
+    cm = pre + ".conv_module"
+    _w_ffn(w, pre + ".ffn1", p["ffn1"])
+    _w_layer_norm(w, pre + ".self_attn_layer_norm", p["attn"]["ln"])
+    _w_mha(w, pre + ".self_attn", p["attn"]["mha"])
+    _w_layer_norm(w, cm + ".layer_norm", p["conv"]["ln"])
+    w.put(cm + ".sequential.0.weight",
+          np.asarray(p["conv"]["pw1"]["w"]).T[:, :, None])
+    w.put(cm + ".sequential.0.bias", p["conv"]["pw1"]["b"])
+    w.put(cm + ".sequential.2.weight",
+          np.asarray(p["conv"]["dw"]["w"]).transpose(2, 1, 0))
+    w.put(cm + ".sequential.2.bias", p["conv"]["dw"]["b"])
+    w.put(cm + ".sequential.3.weight", p["conv"]["norm"]["g"])
+    w.put(cm + ".sequential.3.bias", p["conv"]["norm"]["b"])
+    w.put(cm + ".sequential.3.running_mean", s["conv_bn"]["mean"])
+    w.put(cm + ".sequential.3.running_var", s["conv_bn"]["var"])
+    w.sd[cm + ".sequential.3.num_batches_tracked"] = np.asarray(0,
+                                                                np.int64)
+    w.put(cm + ".sequential.5.weight",
+          np.asarray(p["conv"]["pw2"]["w"]).T[:, :, None])
+    w.put(cm + ".sequential.5.bias", p["conv"]["pw2"]["b"])
+    _w_ffn(w, pre + ".ffn2", p["ffn2"])
+    _w_layer_norm(w, pre + ".final_layer_norm", p["final_ln"])
+
+
+def _tree_at(tree, i):
+    import jax
+    return jax.tree_util.tree_map(lambda a: np.asarray(a)[i], tree)
+
+
+def _pe_buffer(cfg) -> np.ndarray:
+    """Reference PositionalEncoding buffer (max_len, 1, d) — same
+    sinusoid as nn.sinusoidal_pe (positional_encoding.py:54-63)."""
+    pos = np.arange(cfg.max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, cfg.d_model, 2, dtype=np.float32)
+                 * (-np.log(10000.0) / cfg.d_model))
+    pe = np.zeros((cfg.max_len, 1, cfg.d_model), np.float32)
+    pe[:, 0, 0::2] = np.sin(pos * div)
+    pe[:, 0, 1::2] = np.cos(pos * div)
+    return pe
+
+
+def _w_blocks(w: _Writer, fmt, block_p, block_s, n_blocks, npe):
+    for b in range(n_blocks):
+        for l in range(npe):
+            flat = b * npe + l
+            _w_block(w, f"{fmt.format(b)}.conformer_layers.{l}",
+                     _tree_at(block_p, flat), _tree_at(block_s, flat))
+
+
+def _w_decoder_layer(w: _Writer, pre: str, p):
+    _w_layer_norm(w, pre + ".norm1", p["ln1"])
+    _w_mha(w, pre + ".self_attn", p["self_attn"])
+    _w_layer_norm(w, pre + ".norm2", p["ln2"])
+    _w_mha(w, pre + ".multihead_attn", p["cross_attn"])
+    _w_layer_norm(w, pre + ".norm3", p["ln3"])
+    _w_linear(w, pre + ".linear1", p["w1"])
+    _w_linear(w, pre + ".linear2", p["w2"])
+
+
+def to_reference_state_dict(params, state, cfg) -> Dict[str, np.ndarray]:
+    """(params, state) of our early_conformer / splitformer /
+    early_zipformer / full_conformer -> a state_dict the reference's
+    torch modules load with strict=True (includes positional-encoding
+    buffers and BatchNorm bookkeeping). Exact inverse of
+    from_reference_state_dict; round-trip pinned by tests."""
+    w = _Writer()
+    E, npe = cfg.n_enc_exits, cfg.n_enc_layers_per_exit
+
+    if cfg.model_type == "early_zipformer":
+        from early_exit_tpu.models.zipformer import STACK
+        _w_conv1d(w, "conv_subsample.conv", params["subsample"]["convs"][0])
+        w.put("positional_encoder.pe", _pe_buffer(cfg))
+        _w_linear(w, "linear", params["head"])
+        blocks = [2] + list(STACK)
+        off = 0
+        trees = [(params["pre"], state["pre"])] + \
+            list(zip(params["stages"], state["stages"]))
+        for (bp, bs), n in zip(trees, blocks):
+            for j in range(n):
+                for l in range(npe):
+                    flat = j * npe + l
+                    _w_block(w, f"conformer.{off + j}.conformer_layers.{l}",
+                             _tree_at(bp, flat), _tree_at(bs, flat))
+            off += n
+        return w.sd
+
+    if cfg.model_type == "full_conformer":
+        _w_conv1d(w, "conv_subsample.sequential.0",
+                  params["subsample"]["convs"][0])
+        _w_conv1d(w, "conv_subsample.sequential.1",
+                  params["subsample"]["convs"][1])
+        w.put("positional_encoder_1.pe", _pe_buffer(cfg))
+        w.put("positional_encoder_2.pe", _pe_buffer(cfg))
+        w.put("emb.weight", params["emb"]["table"])
+        _w_layer_norm(w, "layer_norm", params["final_ln"])
+        _w_blocks(w, "conformer.{}", params["blocks"], state["blocks"],
+                  E, npe)
+        for e in range(E):
+            _w_linear(w, f"linears_1.{e}", _tree_at(params["heads"], e))
+            _w_linear(w, f"linears_2.{e}", _tree_at(params["out_linear"],
+                                                    e))
+            dec_e = _tree_at(params["decoders"], e)
+            for l in range(cfg.n_dec_layers):
+                _w_decoder_layer(w, f"decoders.{e}.layers.{l}",
+                                 _tree_at(dec_e, l))
+            _w_layer_norm(w, f"decoders.{e}.norm", params["final_ln"])
+        return w.sd
+
+    if cfg.model_type not in ("early_conformer", "splitformer"):
+        raise ValueError(f"no reference export for {cfg.model_type!r}")
+
+    _w_conv1d(w, "conv_subsample.sequential.0",
+              params["subsample"]["convs"][0])
+    _w_conv1d(w, "conv_subsample.sequential.1",
+              params["subsample"]["convs"][1])
+    w.put("positional_encoder.pe", _pe_buffer(cfg))
+    _w_blocks(w, "conformer.{}", params["blocks"], state["blocks"], E, npe)
+    for e in range(E):
+        _w_linear(w, f"linears.{e}", _tree_at(params["heads"], e))
+    if cfg.model_type == "splitformer":
+        for i in range(2):
+            _w_block(w, f"conformer_parallel.{i}.conformer_layers.0",
+                     params["parallel"][i], state["parallel"][i])
+    return w.sd

@@ -138,7 +138,7 @@ class _RefEarlyConformer(nn.Module):
         super().__init__()
         d, ff = cfg.d_model, cfg.d_feed_forward
         self.conv_subsample = _Subsample(cfg.n_mels, d)
-        self.positional_encoder = _PE(d)
+        self.positional_encoder = _PE(d, cfg.max_len)
         self.linears = nn.ModuleList(
             [nn.Linear(d, cfg.vocab_size) for _ in range(cfg.n_enc_exits)])
         self.conformer = nn.ModuleList(
@@ -281,8 +281,8 @@ class _RefFullConformer(nn.Module):
             [nn.Linear(d, cfg.vocab_size) for _ in range(E)])
         self.linears_2 = nn.ModuleList(
             [nn.Linear(d, cfg.vocab_size) for _ in range(E)])
-        self.positional_encoder_1 = _PE(d)
-        self.positional_encoder_2 = _PE(d)
+        self.positional_encoder_1 = _PE(d, cfg.max_len)
+        self.positional_encoder_2 = _PE(d, cfg.max_len)
         self.conformer = nn.ModuleList(
             [_Conformer(d, ff, cfg.n_heads, cfg.depthwise_kernel_size,
                         cfg.n_enc_layers_per_exit) for _ in range(E)])
@@ -370,7 +370,7 @@ class _RefZipformer(nn.Module):
         d, ff = cfg.d_model, cfg.d_feed_forward
         self.conv_subsample = nn.Module()
         self.conv_subsample.conv = nn.Conv1d(cfg.n_mels, d, 3, stride=2)
-        self.positional_encoder = _PE(d)
+        self.positional_encoder = _PE(d, cfg.max_len)
         self.linear = nn.Linear(d, cfg.vocab_size)
         n_blocks = 2 + sum(self.STACK)
         self.conformer = nn.ModuleList(
@@ -453,3 +453,69 @@ def test_import_tool_aed_end_to_end(tmp_path):
     out = os.path.join(tmp_path, "imported-aed")
     tool.main(["--torch_ckpt", pt, "--out", out] + flags)
     assert os.path.exists(out)
+
+
+# ---------- export (the inverse direction) ----------
+
+@pytest.mark.parametrize("model_type", ["early_conformer", "splitformer",
+                                        "early_zipformer",
+                                        "full_conformer"])
+def test_export_import_roundtrip(model_type):
+    """our init -> to_reference_state_dict -> from_reference_state_dict
+    must reproduce every leaf exactly, for every model family."""
+    from early_exit_tpu.models.registry import build_model
+
+    over = {"model_type": model_type}
+    if model_type == "early_zipformer":
+        over.update(n_enc_exits=19, n_enc_layers_per_exit=1)
+    if model_type == "full_conformer":
+        over.update(n_dec_layers=2)
+    cfg = ModelConfig(**{**CFG.__dict__, **over})
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(42), cfg)
+    sd = interop.to_reference_state_dict(params, state, cfg)
+    params2, state2 = interop.from_reference_state_dict(sd, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves((params, state)),
+                    jax.tree_util.tree_leaves((params2, state2))):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=0,
+                                   rtol=0)
+
+
+def test_export_loads_strict_into_torch_replica():
+    """Exported state_dicts must satisfy torch's strict load (key set
+    AND shapes, incl. PE buffers and BatchNorm bookkeeping), and the
+    re-loaded torch model must reproduce the source torch model."""
+    m, sd = _torch_model_and_sd(CFG)
+    params, state = interop.from_reference_state_dict(sd, CFG)
+    out_sd = interop.to_reference_state_dict(params, state, CFG)
+    m2 = _RefEarlyConformer(CFG).eval()
+    m2.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                        for k, v in out_sd.items()}, strict=True)
+    torch.manual_seed(2)
+    feats = torch.randn(2, CFG.n_mels, 61)
+    with torch.no_grad():
+        a = m(feats, torch.tensor([61, 61])).numpy()
+        b = m2(feats, torch.tensor([61, 61])).numpy()
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_export_tool_end_to_end(tmp_path):
+    import tools.export_reference_checkpoint as tool
+    from early_exit_tpu.training import checkpoint
+
+    params, state = early_conformer.init(jax.random.PRNGKey(1), CFG2)
+    ckpt = os.path.join(tmp_path, "mod001-transformer")
+    checkpoint.save_pytree({"params": params, "model_state": state}, ckpt)
+    out = os.path.join(tmp_path, "exported.pt")
+    tool.main(["--ckpt", ckpt, "--out", out,
+               "--decoder_mode", "ctc", "--bpe", "false",
+               "--d_model", "32", "--n_heads", "4",
+               "--d_feed_forward", "48", "--n_enc_exits", "2",
+               "--n_enc_layers_per_exit", "2",
+               "--depthwise_kernel_size", "7", "--n_mels", "9",
+               "--compute_dtype", "float32",
+               "--length_mode", "reference"])
+    sd = torch.load(out)
+    m = _RefEarlyConformer(CFG2).eval()
+    m.load_state_dict(sd, strict=True)
