@@ -38,8 +38,9 @@ sys.path.insert(0, REPO)
 def make_corpus(root: str, split: str, n_items: int, seed: int,
                 min_words: int, max_words: int, *, noise: float = 0.02,
                 speaker_warp: float = 0.0, dur_jitter: float = 0.0,
-                amp_jitter: float = 0.0) -> float:
-    """Returns total audio seconds written."""
+                amp_jitter: float = 0.0, speaker: str = "1001") -> float:
+    """Returns total audio seconds written. `speaker` must differ when
+    writing one split in multiple calls (file stems are speaker-keyed)."""
     from early_exit_tpu.data.flac import write_flac_verbatim
     from early_exit_tpu.data.librispeech import SyntheticDataset
 
@@ -51,7 +52,7 @@ def make_corpus(root: str, split: str, n_items: int, seed: int,
     total_s = 0.0
     for i in range(n_items):
         utt = ds[i]
-        spk, chap = "1001", f"{i // per_chapter:04d}"
+        spk, chap = speaker, f"{i // per_chapter:04d}"
         cdir = os.path.join(root, "LibriSpeech", split, spk, chap)
         os.makedirs(cdir, exist_ok=True)
         stem = f"{spk}-{chap}-{i % per_chapter:04d}"
