@@ -26,7 +26,11 @@ sinusoid as nn.sinusoidal_pe, pinned by tests/test_reference_parity.py).
 Supported: Early_conformer, Splitformer, Early_zipformer and the AED
 full_conformer (whose torch TransformerDecoders map via _decoder_layer;
 the shared final LayerNorm module appears in the state_dict once per
-decoder plus once as `layer_norm` — all aliases of one tensor).
+decoder plus once as `layer_norm` — all aliases of one tensor). That is
+every model the reference CLI can train and save (util/conf.py
+--model_type/--decoder_mode); the legacy pre-Conformer classes
+(Early_transformer/Early_encoder/Transformer/CTC_Self_Attention) are
+unreachable from its CLI, so no reference checkpoint of them can exist.
 
 Use `tools/import_reference_checkpoint.py` for the CLI.
 """
