@@ -175,3 +175,26 @@ def test_pipeline_int16_wire_is_lossless_for_16bit_sources():
 
     got = np.asarray(batch["feats"], np.float32)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_make_corpus_multi_speaker_split(tmp_path):
+    """One split written in two make_corpus calls (the dev-mixed recipe,
+    tools/calibrate_shift_demo.py) must use distinct speaker ids so file
+    stems cannot collide — a collision silently appends mismatched
+    transcripts."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.reference_scale_run import make_corpus
+    from early_exit_tpu.data.librispeech import LibriSpeechDataset
+
+    root = str(tmp_path)
+    make_corpus(root, "dev-mixed", 6, seed=11, min_words=2, max_words=4,
+                speaker="1001")
+    make_corpus(root, "dev-mixed", 6, seed=22, min_words=2, max_words=4,
+                speaker="2002", noise=0.18, speaker_warp=0.1)
+    ds = LibriSpeechDataset(root, "dev-mixed")
+    assert len(ds) == 12
+    transcripts = {ds[i].transcript for i in range(12)}
+    assert len(transcripts) == 12          # no duplicate/overwritten rows
+    assert all(ds[i].waveform.size > 0 for i in range(12))
