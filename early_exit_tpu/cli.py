@@ -180,6 +180,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Run inference through the fused whole-block "
                         "Pallas Conformer kernel (training always uses "
                         "the XLA path).")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="W8A8 dynamic int8 quantization of the encoder "
+                        "blocks at inference (2x MXU rate on v5e; "
+                        "training is always unquantized). Forces the "
+                        "XLA block path.")
     p.add_argument("--remat", type=_bool, default=False,
                    help="jax.checkpoint each conformer block (saves HBM "
                         "on backward at the cost of recompute).")
@@ -317,7 +323,7 @@ def get_args(argv=None, mode: str = "train"):
         attention_impl=args.attention_impl, remat=args.remat,
         residual_dtype=residual_dtype,
         attn_softmax_dtype=args.attn_softmax_dtype,
-        fused_block=args.fused_block)
+        fused_block=args.fused_block, quantize=args.quantize)
     train_cfg = TrainConfig(
         batch_size=args.batch_size, n_batch_split=args.n_batch_split,
         n_epochs=args.n_epochs, warmup=args.warmup,

@@ -51,6 +51,11 @@ class ModelConfig:
     # route inference through the fused whole-block Pallas kernel
     # (ops/pallas/conformer_block.py); training always uses the XLA path
     fused_block: bool = False
+    # "int8": W8A8 dynamic quantization of the encoder-block linears at
+    # inference — int8 MXU runs at 2× the bf16 rate on v5e; per-token
+    # activation scales + per-channel weight scales keep decode parity
+    # (tests/test_quantize.py). Training always runs unquantized.
+    quantize: str = "none"
 
     @property
     def dtype(self):

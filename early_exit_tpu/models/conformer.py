@@ -49,10 +49,17 @@ class ConformerConfig:
     # run inference through the fused whole-block Pallas kernel
     # (ops/pallas/conformer_block.py); training keeps the XLA path
     fused_block: bool = False
+    # "int8": W8A8 dynamic quantization of the block's linears at
+    # inference (2× MXU rate on v5e); training always runs unquantized
+    quantize: str = "none"
 
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def _quant(self, train: bool):
+        return self.quantize if (self.quantize != "none" and not train) \
+            else None
 
     @property
     def rdtype(self):
@@ -116,8 +123,9 @@ def stack_init(key: jax.Array, cfg: ConformerConfig, n_layers: int):
 # --------------------------------------------------------------------------
 
 def _ffn(p, x, cfg: ConformerConfig, rng, train):
+    qz = cfg._quant(train)
     y = nn.layer_norm(p["ln"], x)
-    y = nn.linear(p["w1"], y, compute_dtype=cfg.dtype)
+    y = nn.linear(p["w1"], y, compute_dtype=cfg.dtype, quantize=qz)
     y = jax.nn.silu(y)
     if train:
         rng, r1, r2 = jax.random.split(rng, 3)
@@ -125,13 +133,14 @@ def _ffn(p, x, cfg: ConformerConfig, rng, train):
         y = nn.linear(p["w2"], y, compute_dtype=cfg.dtype)
         y = nn.dropout(y, cfg.dropout, r2, train=True)
     else:
-        y = nn.linear(p["w2"], y, compute_dtype=cfg.dtype)
+        y = nn.linear(p["w2"], y, compute_dtype=cfg.dtype, quantize=qz)
     return y
 
 
 def _conv_module(p, bn_state, x, mask, cfg: ConformerConfig, rng, train):
+    qz = cfg._quant(train)
     y = nn.layer_norm(p["ln"], x)
-    y = nn.linear(p["pw1"], y, compute_dtype=cfg.dtype)       # (B, T, 2d)
+    y = nn.linear(p["pw1"], y, compute_dtype=cfg.dtype, quantize=qz)  # (B, T, 2d)
     a, b = jnp.split(y, 2, axis=-1)
     y = a * jax.nn.sigmoid(b)                                 # GLU
     if mask is not None:
@@ -156,7 +165,7 @@ def _conv_module(p, bn_state, x, mask, cfg: ConformerConfig, rng, train):
         y = (y32 - mean) * lax.rsqrt(var + 1e-5) * p["norm"]["g"] + p["norm"]["b"]
         new_bn = bn_state
     y = jax.nn.silu(y)
-    y = nn.linear(p["pw2"], y, compute_dtype=cfg.dtype)
+    y = nn.linear(p["pw2"], y, compute_dtype=cfg.dtype, quantize=qz)
     if train:
         y = nn.dropout(y, cfg.dropout, rng, train=True)
     return y, new_bn
@@ -190,7 +199,8 @@ def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
     else:
         y = nn.mha(params["attn"]["mha"], y, y, cfg.n_heads, key_mask=mask,
                    pair_mask=attn_mask,
-                   compute_dtype=cfg.dtype, softmax_dtype=cfg.sm_dtype)
+                   compute_dtype=cfg.dtype, softmax_dtype=cfg.sm_dtype,
+                   quantize=cfg._quant(train))
     if train:
         y = nn.dropout(y, cfg.dropout, r_attn, train=True)
     x = x + y.astype(rd)
@@ -220,7 +230,7 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
     # the fused kernel keeps per-item (Tp, Tp) scores + the whole block
     # resident in VMEM; beyond ~T=512 that no longer fits, fall back
     if (cfg.fused_block and not train and x.shape[1] <= 512
-            and attn_mask is None):
+            and attn_mask is None and cfg.quantize == "none"):
         from early_exit_tpu.ops.pallas import conformer_block as fcb
         if mask is not None:
             lengths = jnp.sum(mask.astype(jnp.int32), axis=1)

@@ -32,7 +32,7 @@ def _conformer_cfg(cfg: ModelConfig) -> conformer.ConformerConfig:
         attention_impl=cfg.attention_impl, remat=cfg.remat,
         residual_dtype=(cfg.residual_dtype or cfg.compute_dtype),
         attn_softmax_dtype=cfg.attn_softmax_dtype,
-        fused_block=cfg.fused_block)
+        fused_block=cfg.fused_block, quantize=cfg.quantize)
 
 
 def init(key: jax.Array, cfg: ModelConfig):

@@ -68,11 +68,50 @@ def linear_init(key: jax.Array, d_in: int, d_out: int, *, bias: bool = True) -> 
     return p
 
 
-def linear(p: Param, x: jax.Array, *, compute_dtype=None) -> jax.Array:
+def quantize_int8(x: jax.Array, axis: int = -1):
+    """Symmetric dynamic int8 quantization along `axis`.
+
+    Returns (q int8, scale f32 with keepdims) such that q * scale ≈ x.
+    Scales are per-slice absmax/127 — per-token for activations
+    (axis=-1, the reduction dim) and per-output-channel for weights
+    (axis=0), the standard W8A8 dynamic-quantization recipe."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x32 / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def _linear_int8(p: Param, x: jax.Array, *, compute_dtype=None) -> jax.Array:
+    """W8A8 dynamically-quantized linear: int8×int8→int32 on the MXU.
+
+    TPU v5e runs int8 matmuls at 2× the bf16 rate (394 vs 197 TOPS);
+    quantizing both operands on the fly (per-token activation scales,
+    per-channel weight scales) keeps the rescale exact up to rounding.
+    Inference only — `round` has zero gradient."""
+    xq, sx = quantize_int8(x, axis=-1)            # (..., d_in), (..., 1)
+    wq, sw = quantize_int8(p["w"], axis=0)        # (d_in, d_out), (1, d_out)
+    y = lax.dot_general(xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * sw.reshape((1,) * (y.ndim - 1) + (-1,)))
+    if "b" in p:
+        y = y + p["b"]
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y
+
+
+def linear(p: Param, x: jax.Array, *, compute_dtype=None,
+           quantize: Optional[str] = None) -> jax.Array:
     """y = x @ w + b in `compute_dtype` (output included: materialising
     fp32 activations around bf16 matmuls doubles HBM traffic and costs
     ~40% of forward time; the MXU still accumulates in fp32 internally).
-    Callers needing fp32 — softmax/log-prob heads — upcast explicitly."""
+    Callers needing fp32 — softmax/log-prob heads — upcast explicitly.
+
+    quantize="int8" routes through the W8A8 dynamic-quantization path
+    (inference only; see _linear_int8)."""
+    if quantize == "int8":
+        return _linear_int8(p, x, compute_dtype=compute_dtype)
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -304,7 +343,8 @@ def mha(p: Param, q_in: jax.Array, kv_in: jax.Array, n_heads: int, *,
         attn_bias: Optional[jax.Array] = None,
         pair_mask: Optional[jax.Array] = None,
         compute_dtype=None,
-        softmax_dtype=jnp.float32) -> jax.Array:
+        softmax_dtype=jnp.float32,
+        quantize: Optional[str] = None) -> jax.Array:
     """Multi-head attention on (B, Tq, D) / (B, Tk, D).
 
     key_mask: (B, Tk) bool — True where the key position is valid.
@@ -322,9 +362,9 @@ def mha(p: Param, q_in: jax.Array, kv_in: jax.Array, n_heads: int, *,
     Tk = kv_in.shape[1]
     dh = D // n_heads
 
-    q = linear(p["q"], q_in, compute_dtype=compute_dtype)
-    k = linear(p["k"], kv_in, compute_dtype=compute_dtype)
-    v = linear(p["v"], kv_in, compute_dtype=compute_dtype)
+    q = linear(p["q"], q_in, compute_dtype=compute_dtype, quantize=quantize)
+    k = linear(p["k"], kv_in, compute_dtype=compute_dtype, quantize=quantize)
+    v = linear(p["v"], kv_in, compute_dtype=compute_dtype, quantize=quantize)
 
     q = q.reshape(B, Tq, n_heads, dh).transpose(0, 2, 1, 3)
     k = k.reshape(B, Tk, n_heads, dh).transpose(0, 2, 1, 3)
@@ -362,7 +402,7 @@ def mha(p: Param, q_in: jax.Array, kv_in: jax.Array, n_heads: int, *,
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32)
     out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
-    return linear(p["o"], out, compute_dtype=compute_dtype)
+    return linear(p["o"], out, compute_dtype=compute_dtype, quantize=quantize)
 
 
 # --------------------------------------------------------------------------
