@@ -104,6 +104,28 @@ def test_conformer_block_int8_close():
     assert rel < 0.05, rel
 
 
+def test_gated_apply_int8_smoke():
+    """The confidence-gated path honors ModelConfig.quantize (the
+    lax.while_loop body runs the same quantized block code)."""
+    import dataclasses
+
+    from early_exit_tpu.configs import ModelConfig
+    from early_exit_tpu.models import early_conformer, early_exit_gate
+
+    cfg = ModelConfig(d_model=32, n_heads=4, d_feed_forward=64,
+                      n_enc_exits=2, n_enc_layers_per_exit=1,
+                      depthwise_kernel_size=7, vocab_size=16,
+                      compute_dtype="float32")
+    params, state = early_conformer.init(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 40, cfg.n_mels))
+    lengths = jnp.asarray([40, 28])
+    for c in (cfg, dataclasses.replace(cfg, quantize="int8")):
+        logp, chosen, sub_len, _ = early_exit_gate.gated_apply(
+            params, state, feats, lengths, c, threshold=0.99)
+        assert bool(jnp.all(jnp.isfinite(logp)))
+        assert logp.shape[-1] == 16 and chosen.shape == (2,)
+
+
 @pytest.mark.skipif(not os.path.exists(FLAGSHIP),
                     reason="committed flagship checkpoint absent")
 def test_flagship_int8_greedy_decode_parity():
