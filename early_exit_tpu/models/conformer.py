@@ -230,7 +230,7 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
     # the fused kernel keeps per-item (Tp, Tp) scores + the whole block
     # resident in VMEM; beyond ~T=512 that no longer fits, fall back
     if (cfg.fused_block and not train and x.shape[1] <= 512
-            and attn_mask is None and cfg.quantize == "none"):
+            and attn_mask is None):
         from early_exit_tpu.ops.pallas import conformer_block as fcb
         if mask is not None:
             lengths = jnp.sum(mask.astype(jnp.int32), axis=1)

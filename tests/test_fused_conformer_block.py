@@ -121,3 +121,49 @@ def test_model_level_dispatch():
     np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_x),
                                atol=1e-5, rtol=1e-5)
     assert jnp.array_equal(sl_x, sl_f)
+
+
+def test_int8_fused_matches_xla_int8():
+    """W8A8 kernel variant vs the XLA int8 block (quantize='int8'):
+    same weight quantization (per-channel, from raw fp32) and same
+    per-row activation quantization -> near-identical outputs; and both
+    stay close to the unquantized fp32 block."""
+    import dataclasses
+
+    cfg, params, state = _setup()
+    cfg8 = dataclasses.replace(cfg, quantize="int8")
+    x, lengths, mask = _data()
+    ref32, _ = conformer.block_apply(params, state, x, mask, cfg,
+                                     train=False)
+    ref8, _ = conformer.block_apply(params, state, x, mask, cfg8,
+                                    train=False)
+    folded = fcb.fold_block_params(params, state, compute_dtype=cfg.dtype,
+                                   quantize="int8")
+    assert len(folded) == len(fcb.PARAM_ORDER_INT8)
+    got = fcb.fused_block_apply(
+        folded, x, lengths, n_heads=cfg.n_heads,
+        kernel_size=cfg.kernel_size, compute_dtype=cfg.dtype,
+        residual_dtype=cfg.rdtype, attn_softmax_dtype=cfg.sm_dtype,
+        interpret=True, quantize="int8")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref8),
+                               atol=2e-4, rtol=1e-3)
+    rel = (np.abs(np.asarray(got) - np.asarray(ref32)).max()
+           / (np.abs(np.asarray(ref32)).max() + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_int8_fused_stack_apply():
+    """cfg.quantize='int8' routes fused_stack_apply through the W8A8
+    kernel and stays close to the XLA int8 stack."""
+    import dataclasses
+
+    cfg, _, _ = _setup()
+    cfg8 = dataclasses.replace(cfg, quantize="int8")
+    params, state = conformer.stack_init(jax.random.PRNGKey(1), cfg, 2)
+    x, lengths, mask = _data()
+    ref, _ = conformer.stack_apply(params, state, x, mask, cfg8,
+                                   train=False)
+    got, _ = fcb.fused_stack_apply(params, state, x, lengths, cfg8,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)

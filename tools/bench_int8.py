@@ -100,6 +100,8 @@ def leg_model(B, rt):
         "bf16 xla": base,
         "bf16 fused": dataclasses.replace(base, fused_block=True),
         "int8 xla": dataclasses.replace(base, quantize="int8"),
+        "int8 fused": dataclasses.replace(base, fused_block=True,
+                                          quantize="int8"),
     }
     audio_s = B * SECONDS
     for name, cfg in legs.items():
