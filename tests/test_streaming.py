@@ -415,3 +415,16 @@ def test_pool_load_test_smoke():
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["churned_streams"] > 0
     assert out["round_ms_p99"] >= out["round_ms_p50"] > 0
+
+
+def test_streaming_int8_smoke(model):
+    """ModelConfig.quantize='int8' flows through _conformer_cfg into the
+    streaming recognizer (XLA int8 block path) and emits finite output."""
+    import dataclasses
+
+    params, state = model
+    cfg8 = dataclasses.replace(CFG, quantize="int8")
+    rec = StreamingRecognizer(params, state, cfg8, ACFG, chunk_s=0.5)
+    out = rec.accept_waveform(_wav(1.2))
+    out += rec.finish()
+    assert all(isinstance(t, (int, np.integer)) for t in out)
