@@ -13,11 +13,15 @@ Usage: python tools/bench_int8.py   (occupies the TPU chip; minutes)
 """
 
 import dataclasses
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from early_exit_tpu.runtime import enable_compilation_cache
 
@@ -112,12 +116,14 @@ def leg_model(B, rt):
 
 
 def main():
+    import sys
+    batches = [int(a) for a in sys.argv[1:]] or [128]
     print("devices:", jax.devices())
     rt = relay_rtt()
     print(f"relay rtt: {rt*1e3:.1f} ms")
     leg_matmul(rt)
-    leg_model(128, rt)
-    leg_model(64, rt)
+    for b in batches:
+        leg_model(b, rt)
 
 
 if __name__ == "__main__":
