@@ -169,3 +169,15 @@ def test_flagship_int8_greedy_decode_parity():
     assert (n32 == n8).all()
     for i in range(B):
         assert (t32[i, :n32[i]] == t8[i, :n8[i]]).all(), i
+
+
+def test_cli_quantize_flag_plumbs_into_model_config():
+    from early_exit_tpu.cli import get_args
+
+    _, mcfg, _, _, _ = get_args(
+        ["--decoder_mode", "ctc", "--bpe", "false",
+         "--quantize", "int8"], mode="infer")
+    assert mcfg.quantize == "int8"
+    _, mcfg, _, _, _ = get_args(
+        ["--decoder_mode", "ctc", "--bpe", "false"], mode="infer")
+    assert mcfg.quantize == "none"
