@@ -184,8 +184,8 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["none", "int8"],
                    help="W8A8 dynamic int8 quantization of the encoder "
                         "blocks at inference (2x MXU rate on v5e; "
-                        "training is always unquantized). Forces the "
-                        "XLA block path.")
+                        "training is always unquantized). Composes "
+                        "with --fused_block (W8A8 kernel variant).")
     p.add_argument("--remat", type=_bool, default=False,
                    help="jax.checkpoint each conformer block (saves HBM "
                         "on backward at the cost of recompute).")

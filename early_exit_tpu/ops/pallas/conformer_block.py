@@ -77,8 +77,17 @@ def fold_block_params(params, state, *, compute_dtype=jnp.bfloat16,
     def vec(a):      # (..., D) fp32 vector -> (..., 1, D)
         return a[..., None, :].astype(jnp.float32)
 
-    def cvec(a):     # bias in compute dtype -> (..., 1, F)
-        return a[..., None, :].astype(cd)
+    if quantize == "int8":
+        # matmul weights are replaced by int8 twins below and their
+        # biases stay fp32 (added after the int32->fp32 rescale) — skip
+        # the compute-dtype casts that would be built only to be
+        # discarded
+        mw, cvec = (lambda a: a), vec
+    else:
+        mw = lambda a: a.astype(cd)
+
+        def cvec(a):     # bias in compute dtype -> (..., 1, F)
+            return a[..., None, :].astype(cd)
 
     bn_g = params["conv"]["norm"]["g"].astype(jnp.float32)
     bn_b = params["conv"]["norm"]["b"].astype(jnp.float32)
@@ -94,35 +103,35 @@ def fold_block_params(params, state, *, compute_dtype=jnp.bfloat16,
     out = {
         "ffn1_ln_g": vec(params["ffn1"]["ln"]["g"]),
         "ffn1_ln_b": vec(params["ffn1"]["ln"]["b"]),
-        "ffn1_w1": params["ffn1"]["w1"]["w"].astype(cd),
+        "ffn1_w1": mw(params["ffn1"]["w1"]["w"]),
         "ffn1_b1": cvec(params["ffn1"]["w1"]["b"]),
-        "ffn1_w2": params["ffn1"]["w2"]["w"].astype(cd),
+        "ffn1_w2": mw(params["ffn1"]["w2"]["w"]),
         "ffn1_b2": cvec(params["ffn1"]["w2"]["b"]),
         "attn_ln_g": vec(params["attn"]["ln"]["g"]),
         "attn_ln_b": vec(params["attn"]["ln"]["b"]),
-        "wq": params["attn"]["mha"]["q"]["w"].astype(cd),
+        "wq": mw(params["attn"]["mha"]["q"]["w"]),
         "bq": cvec(params["attn"]["mha"]["q"]["b"]),
-        "wk": params["attn"]["mha"]["k"]["w"].astype(cd),
+        "wk": mw(params["attn"]["mha"]["k"]["w"]),
         "bk": cvec(params["attn"]["mha"]["k"]["b"]),
-        "wv": params["attn"]["mha"]["v"]["w"].astype(cd),
+        "wv": mw(params["attn"]["mha"]["v"]["w"]),
         "bv": cvec(params["attn"]["mha"]["v"]["b"]),
-        "wo": params["attn"]["mha"]["o"]["w"].astype(cd),
+        "wo": mw(params["attn"]["mha"]["o"]["w"]),
         "bo": cvec(params["attn"]["mha"]["o"]["b"]),
         "conv_ln_g": vec(params["conv"]["ln"]["g"]),
         "conv_ln_b": vec(params["conv"]["ln"]["b"]),
-        "pw1_w": params["conv"]["pw1"]["w"].astype(cd),
+        "pw1_w": mw(params["conv"]["pw1"]["w"]),
         "pw1_b": cvec(params["conv"]["pw1"]["b"]),
         "dw_w": dw_w,
         "dw_b": vec(params["conv"]["dw"]["b"]),
         "bn_scale": vec(bn_scale),
         "bn_shift": vec(bn_shift),
-        "pw2_w": params["conv"]["pw2"]["w"].astype(cd),
+        "pw2_w": mw(params["conv"]["pw2"]["w"]),
         "pw2_b": cvec(params["conv"]["pw2"]["b"]),
         "ffn2_ln_g": vec(params["ffn2"]["ln"]["g"]),
         "ffn2_ln_b": vec(params["ffn2"]["ln"]["b"]),
-        "ffn2_w1": params["ffn2"]["w1"]["w"].astype(cd),
+        "ffn2_w1": mw(params["ffn2"]["w1"]["w"]),
         "ffn2_b1": cvec(params["ffn2"]["w1"]["b"]),
-        "ffn2_w2": params["ffn2"]["w2"]["w"].astype(cd),
+        "ffn2_w2": mw(params["ffn2"]["w2"]["w"]),
         "ffn2_b2": cvec(params["ffn2"]["w2"]["b"]),
         "final_ln_g": vec(params["final_ln"]["g"]),
         "final_ln_b": vec(params["final_ln"]["b"]),
@@ -131,27 +140,16 @@ def fold_block_params(params, state, *, compute_dtype=jnp.bfloat16,
         return tuple(out[k] for k in PARAM_ORDER)
 
     # W8A8 layout: quantize each matmul weight from its RAW fp32 value
-    # (not the bf16-rounded copy) along the reduction axis; biases move
-    # to fp32 (added after the int32 -> fp32 rescale in-kernel)
-    raw = {
-        "ffn1_w1": params["ffn1"]["w1"], "ffn1_w2": params["ffn1"]["w2"],
-        "wq": params["attn"]["mha"]["q"], "wk": params["attn"]["mha"]["k"],
-        "wv": params["attn"]["mha"]["v"], "wo": params["attn"]["mha"]["o"],
-        "pw1_w": params["conv"]["pw1"], "pw2_w": params["conv"]["pw2"],
-        "ffn2_w1": params["ffn2"]["w1"], "ffn2_w2": params["ffn2"]["w2"],
-    }
-    bias_of = {"ffn1_w1": "ffn1_b1", "ffn1_w2": "ffn1_b2",
-               "wq": "bq", "wk": "bk", "wv": "bv", "wo": "bo",
-               "pw1_w": "pw1_b", "pw2_w": "pw2_b",
-               "ffn2_w1": "ffn2_b1", "ffn2_w2": "ffn2_b2"}
-    for name, p in raw.items():
-        w32 = p["w"].astype(jnp.float32)                 # (..., K, N)
+    # (mw was the identity above, so out[name] holds it un-rounded)
+    # along the reduction axis; matmul biases are already fp32 (cvec
+    # aliased vec above) and are added after the int32->fp32 rescale
+    for name in _MATMUL_WEIGHTS:
+        w32 = out[name].astype(jnp.float32)              # (..., K, N)
         amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
         scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)  # (..., 1, N)
         out[name] = jnp.clip(jnp.round(w32 / scale),
                              -127.0, 127.0).astype(jnp.int8)
         out[name + "_s"] = scale
-        out[bias_of[name]] = vec(p["b"])                 # fp32 bias
     return tuple(out[k] for k in PARAM_ORDER_INT8)
 
 

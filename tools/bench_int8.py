@@ -116,7 +116,6 @@ def leg_model(B, rt):
 
 
 def main():
-    import sys
     batches = [int(a) for a in sys.argv[1:]] or [128]
     print("devices:", jax.devices())
     rt = relay_rtt()

@@ -245,8 +245,12 @@ def main():
         # average a LATE window, not the full history: early garbage
         # epochs dominate a 0..N average (measured: 96.2% vs 28.8% WER
         # at exit 6 on the 48-epoch run). The reference's own usage
-        # averages once converged (util/model_utils.py:15-48).
-        avg_start = max(0, last_epoch - args.avg_last + 1)
+        # averages once converged (util/model_utils.py:15-48). The
+        # window start must be an EXISTING checkpoint (train.py skips
+        # non-improving epochs and avg_models loads the start epoch
+        # unconditionally), so take the last N saved files.
+        window = ckpts[-args.avg_last:]
+        avg_start = int(re.match(r"mod(\d+)-transformer", window[0])[1])
         avg_base = [sys.executable, os.path.join(REPO, "inference.py"),
                     "--decoder_mode", "aed", "--eval_splits", splits,
                     "--load_model_dir", moddir,
@@ -256,7 +260,7 @@ def main():
                   env, log)
         summary["aed_beam_avg_wer_pct"] = both(out)
         summary["avg_model_range"] = [avg_start, last_epoch,
-                                      len(ckpts)]  # start, end, present
+                                      len(window)]  # start, end, averaged
     else:
         out = run(infer_base + ["--decode", "greedy"], env, log)
         summary["greedy_wer_pct"] = parse_wers(out)
