@@ -20,6 +20,7 @@ import tempfile
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -48,6 +49,15 @@ def load_pytree(template: Any, path: str) -> Any:
         return serialization.from_bytes(template, f.read())
 
 
+def _to_device(tree: Any) -> Any:
+    """flax.serialization returns HOST numpy leaves; anything that later
+    passes them as jit ARGUMENTS re-uploads the full model every call
+    (measured: 62 MB/dispatch for the reference-dims model — ~1 s per
+    pooled streaming round over the axon relay). Commit leaves to the
+    default device once at load."""
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
 def model_ckpt_path(directory: str, epoch: int) -> str:
     return os.path.join(directory, f"mod{epoch:03d}-transformer")
 
@@ -67,15 +77,16 @@ def save_epoch(directory: str, epoch: int, params, model_state,
 
 def load_epoch(directory: str, epoch: int, params_template,
                model_state_template):
-    tree = load_pytree({"params": params_template,
-                        "model_state": model_state_template},
-                       model_ckpt_path(directory, epoch))
+    tree = _to_device(load_pytree({"params": params_template,
+                                   "model_state": model_state_template},
+                                  model_ckpt_path(directory, epoch)))
     return tree["params"], tree["model_state"]
 
 
 def load_model_file(path: str, params_template, model_state_template):
-    tree = load_pytree({"params": params_template,
-                        "model_state": model_state_template}, path)
+    tree = _to_device(load_pytree({"params": params_template,
+                                   "model_state": model_state_template},
+                                  path))
     return tree["params"], tree["model_state"]
 
 
@@ -105,6 +116,7 @@ def avg_models(directory: str, start: int, end: int, params_template,
     avg = jax.tree_util.tree_map(
         lambda a: (a / count).astype(a.dtype) if np.issubdtype(a.dtype, np.floating)
         else a // count if np.issubdtype(a.dtype, np.integer) else a, acc)
+    avg = _to_device(avg)
     return avg["params"], avg["model_state"]
 
 

@@ -144,9 +144,9 @@ def main(argv=None):
                                       state["model_state"])
         opt_path = checkpoint.opt_ckpt_path(moddir, latest)
         if os.path.exists(opt_path):
-            tree = checkpoint.load_pytree(
+            tree = checkpoint._to_device(checkpoint.load_pytree(
                 {"opt_state": state["opt_state"], "step": state["step"]},
-                opt_path)
+                opt_path))
             state = {"params": p, "model_state": ms,
                      "opt_state": tree["opt_state"],
                      "step": tree["step"]}
