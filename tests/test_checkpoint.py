@@ -72,3 +72,21 @@ def test_avg_models_empty_dir_raises(tmp_path):
     params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
     with pytest.raises(FileNotFoundError):
         checkpoint.avg_models(str(tmp_path), 0, 3, params, state)
+
+
+def test_loads_return_device_arrays(tmp_path):
+    """Loaded checkpoints must be committed jax.Arrays, NOT host numpy:
+    numpy leaves passed as jit arguments re-upload the whole model on
+    every dispatch (measured 62 MB/call -> ~1 s per pooled streaming
+    round over the device relay; BENCH_NOTES 'churn load test')."""
+    d = str(tmp_path / "ckpt")
+    params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
+    checkpoint.save_epoch(d, 0, params, state)
+    checkpoint.save_epoch(d, 1, params, state)
+
+    for p, s in (checkpoint.load_epoch(d, 1, params, state),
+                 checkpoint.load_model_file(
+                     checkpoint.model_ckpt_path(d, 1), params, state),
+                 checkpoint.avg_models(d, 0, 1, params, state)):
+        for leaf in jax.tree_util.tree_leaves((p, s)):
+            assert isinstance(leaf, jax.Array), type(leaf)
