@@ -53,3 +53,27 @@ def test_inference_requires_checkpoint(tmp_path):
               *TINY_FLAGS], str(tmp_path))
     assert r.returncode != 0
     assert "Invalid model loading config" in (r.stderr + r.stdout)
+
+
+@pytest.mark.slow
+def test_resume_falls_back_to_complete_pair(tmp_path):
+    """A crash while writing the optimizer checkpoint leaves an orphaned
+    model file; auto-resume must fall back to the newest COMPLETE
+    (model + optimizer) pair instead of restarting the Noam schedule at
+    step 0 (the warmup-LR spike wrecks the model; BENCH_NOTES AED run)."""
+    import re
+
+    moddir = str(tmp_path / "m")
+    r = _run([os.path.join(REPO, "train.py"), "--decoder_mode", "ctc",
+              "--n_epochs", "2", "--save_model_dir", moddir,
+              *TINY_FLAGS], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    # simulate the crash: epoch 1's optimizer file never landed
+    os.remove(os.path.join(moddir, "lr001-transformer"))
+    r = _run([os.path.join(REPO, "train.py"), "--decoder_mode", "ctc",
+              "--n_epochs", "3", "--save_model_dir", moddir,
+              *TINY_FLAGS], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "no optimizer state" in r.stdout
+    m = re.search(r"auto-resume from epoch (\d+) \(step (\d+)\)", r.stdout)
+    assert m and m.group(1) == "0" and int(m.group(2)) > 0, r.stdout[-2000:]

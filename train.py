@@ -140,9 +140,34 @@ def main(argv=None):
     latest = checkpoint.latest_epoch(moddir)
     if (latest is not None and args.load_model_path is None
             and args.load_model_dir is None):
-        p, ms = checkpoint.load_epoch(moddir, latest, state["params"],
+        # resume needs BOTH the model and the optimizer checkpoint: a
+        # params-only resume restarts the Noam schedule at step 0 and
+        # the warmup-LR spike wrecks the model (measured: a crash while
+        # writing lr089 left mod089 orphaned; resuming it took the loss
+        # 0.56 -> 2.6). Prefer the newest epoch whose pair is complete.
+        resume = latest
+        while (resume is not None and resume >= 0
+               and os.path.exists(checkpoint.model_ckpt_path(moddir,
+                                                             resume))
+               and not os.path.exists(checkpoint.opt_ckpt_path(moddir,
+                                                               resume))):
+            resume -= 1
+            while resume >= 0 and not os.path.exists(
+                    checkpoint.model_ckpt_path(moddir, resume)):
+                resume -= 1
+        if resume is None or resume < 0:
+            print(f"warning: newest checkpoint epoch {latest} has no "
+                  f"optimizer state and no earlier complete pair exists "
+                  f"— resuming params-only (LR schedule restarts; "
+                  f"expect a warmup loss spike)")
+            resume = latest
+        elif resume != latest:
+            print(f"warning: epoch {latest} has no optimizer state "
+                  f"(crash during save?) — resuming from the newest "
+                  f"complete pair, epoch {resume}")
+        p, ms = checkpoint.load_epoch(moddir, resume, state["params"],
                                       state["model_state"])
-        opt_path = checkpoint.opt_ckpt_path(moddir, latest)
+        opt_path = checkpoint.opt_ckpt_path(moddir, resume)
         if os.path.exists(opt_path):
             tree = checkpoint._to_device(checkpoint.load_pytree(
                 {"opt_state": state["opt_state"], "step": state["step"]},
@@ -154,8 +179,8 @@ def main(argv=None):
             state = {"params": p, "model_state": ms,
                      "opt_state": state["opt_state"],
                      "step": state["step"]}
-        start_epoch = latest + 1
-        print(f"auto-resume from epoch {latest} "
+        start_epoch = resume + 1
+        print(f"auto-resume from epoch {resume} "
               f"(step {int(state['step'])})")
 
     best_loss = float("inf")
