@@ -172,14 +172,19 @@ def _softmax(s):
 
 
 def _block_kernel(x_ref, len_ref, *refs, n_heads, kernel_size, cdtype,
-                  rdtype, smdtype, group, quantize=None, eps=1e-5):
+                  rdtype, smdtype, group, quantize=None, eps=1e-5,
+                  ablate=frozenset()):
     """One grid step processes `group` batch items: LN/matmuls run on the
     flattened (group*Tp, D) rows (big MXU shapes); attention and the
     depthwise conv, which must not mix items, loop per item.
 
     quantize="int8": matmul weights arrive pre-quantized (int8 + scale
     rows, PARAM_ORDER_INT8); activations are quantized per row in-kernel
-    and the dots run int8×int8→int32 (2× the bf16 MXU rate on v5e)."""
+    and the dots run int8×int8→int32 (2× the bf16 MXU rate on v5e).
+
+    ablate: PROFILING ONLY (tools/ablate_fused_block.py) — component
+    names whose compute is skipped so hardware time can be attributed by
+    differencing; output values are wrong when non-empty."""
     order = PARAM_ORDER_INT8 if quantize == "int8" else PARAM_ORDER
     w = dict(zip(order, refs[:-1]))
     o_ref = refs[-1]
@@ -196,6 +201,8 @@ def _block_kernel(x_ref, len_ref, *refs, n_heads, kernel_size, cdtype,
 
     def ln(v, g_ref, b_ref):
         v32 = v.astype(jnp.float32)
+        if "ln" in ablate:                       # profiling: scale/shift only
+            return v32 * g_ref[:] + b_ref[:]
         mu = jnp.mean(v32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(v32 - mu), axis=-1, keepdims=True)
         return (v32 - mu) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
@@ -220,80 +227,96 @@ def _block_kernel(x_ref, len_ref, *refs, n_heads, kernel_size, cdtype,
     def ffn(v, pre):
         y = ln(v, w[pre + "_ln_g"], w[pre + "_ln_b"])
         y = matmul(y, pre + "_w1", pre + "_b1")
-        y = _silu(y)
+        if "silu" not in ablate:
+            y = _silu(y)
         return matmul(y, pre + "_w2", pre + "_b2")
 
     x = x_ref[:].reshape(R, D).astype(rdtype)
 
     # ---- macaron FFN half
     half = jnp.asarray(0.5, rdtype)
-    x = x + half * ffn(x, "ffn1").astype(rdtype)
+    if "ffn" not in ablate:
+        x = x + half * ffn(x, "ffn1").astype(rdtype)
 
     # ---- MHSA, all heads in VMEM; per-item score/softmax
-    y = ln(x, w["attn_ln_g"], w["attn_ln_b"])
-    q = matmul(y, "wq", "bq")
-    k = matmul(y, "wk", "bk")
-    v = matmul(y, "wv", "bv")
-    scale = 1.0 / math.sqrt(dh)
-    lowp = smdtype == jnp.bfloat16
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
-    items = []
-    for g in range(G):
-        rows = slice(g * Tp, (g + 1) * Tp)
-        col_valid = c_iota < lengths[g]
-        heads = []
-        for h in range(n_heads):
-            sl = slice(h * dh, (h + 1) * dh)
-            qh, kh, vh = q[rows, sl], k[rows, sl], v[rows, sl]
-            s = jax.lax.dot_general(
-                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (Tp, Tp)
-            if lowp:
-                s = s.astype(smdtype) * jnp.asarray(scale, smdtype)
-                s = jnp.where(col_valid, s,
-                              jnp.asarray(-30000.0, smdtype))
-                p = _softmax(s)
-                oh = jnp.dot(p, vh, preferred_element_type=jnp.float32
-                             ).astype(cdtype)
-            else:
-                s = s * scale
-                s = jnp.where(col_valid, s, -1e9)
-                p = _softmax(s).astype(cdtype)
-                oh = jnp.dot(p, vh.astype(cdtype),
-                             preferred_element_type=jnp.float32)
-            heads.append(oh)
-        items.append(jnp.concatenate(heads, axis=-1))        # (Tp, D)
-    attn_out = jnp.concatenate(items, axis=0)                # (R, D)
-    x = x + matmul(attn_out, "wo", "bo").astype(rdtype)
+    if "attn" not in ablate:
+        y = ln(x, w["attn_ln_g"], w["attn_ln_b"])
+        q = matmul(y, "wq", "bq")
+        k = matmul(y, "wk", "bk")
+        v = matmul(y, "wv", "bv")
+        scale = 1.0 / math.sqrt(dh)
+        lowp = smdtype == jnp.bfloat16
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+        items = []
+        for g in range(G):
+            rows = slice(g * Tp, (g + 1) * Tp)
+            col_valid = c_iota < lengths[g]
+            heads = []
+            for h in range(n_heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                qh, kh, vh = q[rows, sl], k[rows, sl], v[rows, sl]
+                s = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (Tp, Tp)
+                if lowp:
+                    s = s.astype(smdtype) * jnp.asarray(scale, smdtype)
+                    s = jnp.where(col_valid, s,
+                                  jnp.asarray(-30000.0, smdtype))
+                    p = s if "softmax" in ablate else _softmax(s)
+                    oh = jnp.dot(p, vh, preferred_element_type=jnp.float32
+                                 ).astype(cdtype)
+                else:
+                    s = s * scale
+                    s = jnp.where(col_valid, s, -1e9)
+                    p = (s if "softmax" in ablate
+                         else _softmax(s)).astype(cdtype)
+                    oh = jnp.dot(p, vh.astype(cdtype),
+                                 preferred_element_type=jnp.float32)
+                heads.append(oh)
+            items.append(jnp.concatenate(heads, axis=-1))    # (Tp, D)
+        attn_out = jnp.concatenate(items, axis=0)            # (R, D)
+        x = x + matmul(attn_out, "wo", "bo").astype(rdtype)
 
     # ---- convolution module
-    y = ln(x, w["conv_ln_g"], w["conv_ln_b"])
-    y = matmul(y, "pw1_w", "pw1_b")                          # (R, 2D)
-    a, b = y[:, :D], y[:, D:]
-    y = a * _sigmoid(b)                                      # GLU, cdtype
-    y = jnp.where(row_valid, y, jnp.zeros((), cdtype))       # no leakage
-    # depthwise 'SAME' conv over time, per item: k shifted multiply-adds
-    # (VPU), fp32 accumulation then one cast to cdtype (matches the XLA
-    # conv's preferred_element_type=f32 -> astype(bf16) rounding)
-    kpad_l = (kernel_size - 1) // 2
-    dw = w["dw_w"][:].astype(jnp.float32)                    # (k, D)
-    conv_items = []
-    for g in range(G):
-        yg = y[g * Tp:(g + 1) * Tp]
-        yp = jnp.pad(yg, ((kpad_l, kernel_size - 1 - kpad_l), (0, 0)))
-        acc = jnp.zeros((Tp, D), jnp.float32)
-        for j in range(kernel_size):
-            acc = acc + yp[j:j + Tp].astype(jnp.float32) * dw[j:j + 1, :]
-        conv_items.append(acc)
-    y = jnp.concatenate(conv_items, axis=0)                  # (R, D) f32
-    y = y.astype(cdtype).astype(jnp.float32) + w["dw_b"][:]
-    y = y * w["bn_scale"][:] + w["bn_shift"][:]              # folded BN
-    y = _silu(y)
-    y = matmul(y, "pw2_w", "pw2_b")
-    x = x + y.astype(rdtype)
+    if "conv" not in ablate:
+        y = ln(x, w["conv_ln_g"], w["conv_ln_b"])
+        y = matmul(y, "pw1_w", "pw1_b")                      # (R, 2D)
+        a, b = y[:, :D], y[:, D:]
+        y = a if "glu" in ablate else a * _sigmoid(b)        # GLU, cdtype
+        y = jnp.where(row_valid, y, jnp.zeros((), cdtype))   # no leakage
+        # depthwise 'SAME' conv over time, per item: k shifted
+        # multiply-adds (VPU), fp32 accumulation then one cast to cdtype
+        # (matches the XLA conv's preferred_element_type=f32 ->
+        # astype(bf16) rounding)
+        if "dwconv" in ablate:
+            y = y.astype(jnp.float32)
+        else:
+            kpad_l = (kernel_size - 1) // 2
+            dw = w["dw_w"][:].astype(jnp.float32)            # (k, D)
+            # vectorized over items: pad each item's time axis inside the
+            # (G, Tp, D) view so taps never mix items; one tap loop, no
+            # per-item concat (the concat form scheduled ~10x slower in
+            # situ — BENCH_NOTES.md round-3 ablation)
+            y3 = y.reshape(G, Tp, D)
+            y3p = jnp.pad(y3, ((0, 0),
+                               (kpad_l, kernel_size - 1 - kpad_l),
+                               (0, 0)))
+            acc = jnp.zeros((G, Tp, D), jnp.float32)
+            for j in range(kernel_size):
+                acc = acc + (y3p[:, j:j + Tp].astype(jnp.float32)
+                             * dw[j:j + 1, :][None])
+            y = acc.reshape(R, D)                            # (R, D) f32
+            y = y.astype(cdtype).astype(jnp.float32)
+        y = y + w["dw_b"][:]
+        y = y * w["bn_scale"][:] + w["bn_shift"][:]          # folded BN
+        if "silu" not in ablate:
+            y = _silu(y)
+        y = matmul(y, "pw2_w", "pw2_b")
+        x = x + y.astype(rdtype)
 
     # ---- second FFN half + final LN
-    x = x + half * ffn(x, "ffn2").astype(rdtype)
+    if "ffn" not in ablate:
+        x = x + half * ffn(x, "ffn2").astype(rdtype)
     x = ln(x, w["final_ln_g"], w["final_ln_b"]).astype(rdtype)
     x = jnp.where(row_valid, x, jnp.zeros((), rdtype))
     o_ref[:] = x.reshape(G, Tp, D)
@@ -308,14 +331,15 @@ def _pad_to(n: int, m: int) -> int:
                                              "residual_dtype",
                                              "attn_softmax_dtype",
                                              "group", "interpret",
-                                             "quantize"))
+                                             "quantize", "ablate"))
 def fused_block_apply(folded, x, lengths, *, n_heads: int,
                       kernel_size: int, compute_dtype=jnp.bfloat16,
                       residual_dtype=jnp.bfloat16,
                       attn_softmax_dtype=jnp.float32,
                       group: int | None = None,
                       interpret: bool = False,
-                      quantize: str | None = None):
+                      quantize: str | None = None,
+                      ablate: frozenset = frozenset()):
     """One fused Conformer block. x: (B, T, D); lengths: (B,) int32.
 
     folded: tuple from fold_block_params (unstacked). group: batch items
@@ -337,7 +361,8 @@ def fused_block_apply(folded, x, lengths, *, n_heads: int,
     kern = functools.partial(
         _block_kernel, n_heads=n_heads, kernel_size=kernel_size,
         cdtype=compute_dtype, rdtype=residual_dtype,
-        smdtype=attn_softmax_dtype, group=group, quantize=quantize)
+        smdtype=attn_softmax_dtype, group=group, quantize=quantize,
+        ablate=ablate)
 
     w_specs = [
         pl.BlockSpec(a.shape, (lambda *_, n=a.ndim: (0,) * n),
