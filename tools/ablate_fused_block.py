@@ -31,6 +31,7 @@ ITERS = 30
 ABLATIONS = [
     (),                       # full kernel (baseline)
     ("ln",),                  # LayerNorm mean/var/rsqrt -> scale/shift
+    ("ln2p",),                # LayerNorm centered two-pass stats
     ("softmax",),             # softmax -> identity (dots remain)
     ("silu",),                # FFN + conv SiLU -> identity
     ("glu",),                 # GLU sigmoid gate -> passthrough
