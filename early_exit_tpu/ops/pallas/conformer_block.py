@@ -11,9 +11,12 @@ weights once.
 Inference-only by design (no dropout; BatchNorm running stats are folded
 into scale/shift on the host). Training keeps the XLA path, whose
 backward pass XLA already fuses well. Numerics mirror
-`models/conformer.block_apply` (train=False) op for op: fp32 LayerNorm /
+`models/conformer.block_apply` (train=False) op for op — fp32 LayerNorm /
 BatchNorm, cfg.compute_dtype matmuls with fp32 MXU accumulation,
-cfg.attn_softmax_dtype scores, cfg.residual_dtype stream.
+cfg.attn_softmax_dtype scores, cfg.residual_dtype stream — with one
+deliberate exception: LayerNorm variance uses the one-pass
+E[x²]−µ² form (≤1 bf16-ulp output difference, −0.77 ms on the
+12-block stack; BENCH_NOTES.md ablation table).
 
 Replaces the reference's torchaudio ConformerLayer forward
 (models/model/early_exit.py:603-615) on the inference hot path.
