@@ -109,11 +109,13 @@ def main():
 CKPT = "assets/flagship_ckpt"
 
 
-def gated_bench(rt):
+def gated_bench(rt, fused=False):
     """North-star leg (BASELINE.json): confidence-gated dynamic early
     exit on a TRAINED reference-dims checkpoint, with measured WER
     equality vs the all-exits path on the same held-out audio.
 
+    fused: run both legs through the fused whole-block kernel (the
+    gate's while_loop body dispatches per-exit stacks through it).
     Returns extra keys for the bench JSON line; raises (caught by the
     caller) when the committed checkpoint is absent."""
     import os
@@ -132,7 +134,8 @@ def gated_bench(rt):
     if not os.path.exists(ckpt):
         raise FileNotFoundError(CKPT)
     acfg = AudioConfig()
-    cfg = ModelConfig(attn_softmax_dtype="bfloat16")   # reference dims
+    cfg = ModelConfig(attn_softmax_dtype="bfloat16",   # reference dims
+                      fused_block=fused)
     params, state = early_conformer.init(jax.random.PRNGKey(0), cfg)
     params, state = checkpoint.load_model_file(ckpt, params, state)
     params = jax.tree_util.tree_map(
