@@ -122,7 +122,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default=".",
                    help="Directory containing LibriSpeech/ (data.py uses "
                         "the working directory).")
-    p.add_argument("--train_split", type=str, default="train-clean-100")
+    p.add_argument("--train_split", type=str, default="train-clean-100",
+                   help="LibriSpeech training split; a comma-separated "
+                        "list concatenates splits (the reference's "
+                        "full-960h ConcatDataset recipe, data.py:9-16), "
+                        "e.g. train-clean-100,train-clean-360.")
     p.add_argument("--synthetic_data", type=_bool, default=False,
                    help="Use the deterministic synthetic corpus (smoke "
                         "runs without LibriSpeech).")

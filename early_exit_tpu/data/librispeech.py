@@ -62,16 +62,31 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
 
 
 class LibriSpeechDataset:
-    """Index of a LibriSpeech split; audio is decoded lazily."""
+    """Index of one or more LibriSpeech splits; audio is decoded lazily.
+
+    `url` may be a comma-separated list of splits (e.g.
+    "train-clean-100,train-clean-360,train-other-500") — the concatenated
+    full-960h recipe the reference sketches with ConcatDataset
+    (data.py:9-16); items are indexed split by split, in order.
+    """
 
     def __init__(self, root: str, url: str = "train-clean-100"):
+        names = [u.strip() for u in url.split(",") if u.strip()]
+        if not names:
+            raise ValueError("empty LibriSpeech split list")
+        self.items: List[Tuple[str, str, str, str, str]] = []
+        self._bases: List[str] = []
+        for name in names:
+            self._index_split(root, name)
+        self.base = self._bases[0] if len(self._bases) == 1 else self._bases
+
+    def _index_split(self, root: str, url: str) -> None:
         base = os.path.join(root, "LibriSpeech", url)
         if not os.path.isdir(base):
             base = os.path.join(root, url)
         if not os.path.isdir(base):
             raise FileNotFoundError(f"no LibriSpeech split at {base}")
-        self.base = base
-        self.items: List[Tuple[str, str, str, str, str]] = []
+        self._bases.append(base)
         for speaker in sorted(os.listdir(base)):
             sdir = os.path.join(base, speaker)
             if not os.path.isdir(sdir):

@@ -198,3 +198,30 @@ def test_make_corpus_multi_speaker_split(tmp_path):
     transcripts = {ds[i].transcript for i in range(12)}
     assert len(transcripts) == 12          # no duplicate/overwritten rows
     assert all(ds[i].waveform.size > 0 for i in range(12))
+
+
+def test_multi_split_concat(tmp_path):
+    """Comma-separated --train_split concatenates splits (the reference's
+    full-960h ConcatDataset recipe, data.py:9-16)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import pytest
+    from tools.reference_scale_run import make_corpus
+    from early_exit_tpu.data.librispeech import LibriSpeechDataset
+
+    root = str(tmp_path)
+    make_corpus(root, "train-clean-100", 4, seed=1, min_words=2,
+                max_words=3, speaker="1001")
+    make_corpus(root, "train-clean-360", 3, seed=2, min_words=2,
+                max_words=3, speaker="2002")
+    ds = LibriSpeechDataset(root, "train-clean-100,train-clean-360")
+    assert len(ds) == 7
+    # split order preserved: the first split's items come first
+    solo = LibriSpeechDataset(root, "train-clean-100")
+    assert [it[0] for it in ds.items[:4]] == [it[0] for it in solo.items]
+    assert all(ds[i].waveform.size > 0 for i in range(7))
+    with pytest.raises(FileNotFoundError):
+        LibriSpeechDataset(root, "train-clean-100,train-other-500")
+    with pytest.raises(ValueError):
+        LibriSpeechDataset(root, " , ")
