@@ -482,6 +482,24 @@ class StreamPool:
             _shared_weights=shared, _shared_fast_weights=shared_fast,
             **kwargs)
 
+    def warmup(self) -> None:
+        """Trace/compile every device program `poll()` and `finish()` can
+        dispatch — the batched (S, win) round and the single-row (1, win)
+        tail flush, fast and deep legs alike — so the first real round
+        never pays the ~2 s trace-plus-cache-hit tail measured as the
+        churn p99 (BENCH_NOTES.md). Rows are fully masked (n_valid=0):
+        no stream state is read or advanced."""
+        r0 = self.recs[0]
+        for S in (len(self.recs), 1):
+            wav = jnp.zeros((S, r0.win_samples), jnp.float32)
+            p0 = jnp.zeros((S,), jnp.int32)
+            nv = jnp.zeros((S,), jnp.int32)
+            if r0.exit_threshold is not None:
+                jax.block_until_ready(self._fwd_fast(wav, p0, nv))
+            jax.block_until_ready(self._fwd(
+                r0._sub_params, r0._block_params, r0._block_state,
+                r0._head, wav, p0, nv))
+
     def feed(self, stream_id: int, samples) -> None:
         """Buffer audio for one stream (no compute until poll())."""
         rec = self.recs[stream_id]

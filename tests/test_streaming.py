@@ -428,3 +428,39 @@ def test_streaming_int8_smoke(model):
     out = rec.accept_waveform(_wav(1.2))
     out += rec.finish()
     assert all(isinstance(t, (int, np.integer)) for t in out)
+
+
+def test_pool_warmup_pretraces_all_dispatch_shapes(model):
+    """warmup() must (a) not disturb stream results, and (b) leave no
+    program shape for poll()/finish() to trace later — the churn-p99
+    mitigation (BENCH_NOTES.md)."""
+    from early_exit_tpu.serving import StreamPool
+
+    params, state = model
+    kw = dict(chunk_s=0.5, left_s=1.0, right_s=0.2)
+    wavs = [_wav(1.5 + 0.5 * i, seed=30 + i) for i in range(2)]
+
+    def run(warm):
+        pool = StreamPool(2, params, state, CFG, ACFG, **kw)
+        if warm:
+            pool.warmup()
+        for i in range(2):
+            pool.feed(i, wavs[i])
+        pool.poll()
+        return [pool.finish(i) or pool.recs[i].ids for i in range(2)]
+
+    assert run(True) == run(False)
+
+    # gated pools dispatch a second (fast-exit) program; after warmup,
+    # a full poll+finish cycle must add zero new jit traces
+    pool = StreamPool(2, params, state, CFG, ACFG,
+                      exit_threshold=2.0, fast_exit=1, **kw)
+    pool.warmup()
+    progs = [pool._fwd, pool.recs[0]._fast_forward]
+    sizes = [p._cache_size() for p in progs]
+    for i in range(2):
+        pool.feed(i, wavs[i])
+    pool.poll()
+    for i in range(2):
+        pool.finish(i)
+    assert [p._cache_size() for p in progs] == sizes

@@ -115,7 +115,10 @@ def main():
     remaining = [new_len() for _ in range(args.streams)]
     churned = 0
 
-    # warmup: one full round compiles the window program(s)
+    # warmup: pre-trace every dispatchable program shape (batched round
+    # AND the single-row finish flush), then one full fed round to warm
+    # the host paths too
+    pool.warmup()
     for i in range(args.streams):
         pool.feed(i, draw(chunk_n))
     pool.poll()

@@ -96,6 +96,12 @@ def make_server(argv, port_holder=None):
         rec_kw["_shared_fast_weights"] = _slice_weights(params, mstate,
                                                         mcfg, 1)
 
+    # pre-trace the (1, window) device programs on a throwaway stream so
+    # the first connection's first chunk doesn't pay trace+compile latency
+    warm = StreamingRecognizer(params, mstate, mcfg, acfg, tok, **rec_kw)
+    warm.accept_waveform(np.zeros(warm.win_samples, np.float32))
+    warm.finish()
+
     class Handler(socketserver.StreamRequestHandler):
         def _reply(self, obj):
             self.wfile.write((json.dumps(obj) + "\n").encode())
