@@ -112,6 +112,12 @@ def main():
     ap.add_argument("--exit_threshold", type=float, default=0.85)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint in workdir")
+    ap.add_argument("--distill", action="store_true",
+                    help="train with self-distillation (--distill true): "
+                         "the deepest exit teaches earlier exits — the "
+                         "reference's reserved flag (util/conf.py:48-57); "
+                         "its real-data-scale benefit is the open "
+                         "question this runner measures")
     ap.add_argument("--specaugment", action="store_true",
                     help="train with SpecAugment masking (pairs with the "
                          "hard-mode corpus knobs for a robustness A/B)")
@@ -139,6 +145,8 @@ def main():
            else f"{args.model_type}_seed{args.seed}")
     if args.decoder_mode == "aed":
         tag = f"aed_seed{args.seed}"
+    if args.distill:
+        tag += "_distill"
     moddir = os.path.join(work, f"model_{tag}")
     log = os.path.join(work, f"log_{tag}.txt")
     os.makedirs(corpus, exist_ok=True)
@@ -192,7 +200,7 @@ def main():
         common += ["--n_enc_exits", "19", "--n_enc_layers_per_exit", "1"]
 
     summary = {"seed": args.seed, "model_type": args.model_type,
-               "specaugment": args.specaugment,
+               "specaugment": args.specaugment, "distill": args.distill,
                "decoder_mode": args.decoder_mode, "epochs": args.epochs,
                "n_train": args.n_train, "n_test": args.n_test,
                "words_range": [args.min_words, args.max_words],
@@ -201,6 +209,8 @@ def main():
 
     if not args.skip_train:
         sa = (["--specaugment", "true"] if args.specaugment else [])
+        if args.distill:
+            sa += ["--distill", "true"]
         train_out = run([sys.executable, os.path.join(REPO, "train.py"),
                          "--decoder_mode", args.decoder_mode,
                          "--n_epochs", str(args.epochs),
