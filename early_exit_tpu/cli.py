@@ -174,6 +174,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "temperatures + thresholds (and the fitted "
                         "score) override --exit_threshold/--gate_score.")
 
+    p.add_argument("--profile_trace", type=str, default=None,
+                   help="Capture a jax.profiler device trace of the "
+                        "first --profile_steps post-compile training "
+                        "steps into this directory (TensorBoard-"
+                        "loadable; utils/profiling.py).")
+    p.add_argument("--profile_steps", type=int, default=10)
+
     # performance profile (TPU-native). "auto" resolves per entry point:
     # training keeps fp32 attention softmax + FFT mel; inference uses the
     # benched bf16 profile (attn softmax bf16, DFT-matmul mel).

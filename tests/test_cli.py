@@ -77,3 +77,14 @@ def test_resume_falls_back_to_complete_pair(tmp_path):
     assert "no optimizer state" in r.stdout
     m = re.search(r"auto-resume from epoch (\d+) \(step (\d+)\)", r.stdout)
     assert m and m.group(1) == "0" and int(m.group(2)) > 0, r.stdout[-2000:]
+
+
+def test_profile_trace_flags_parse():
+    from early_exit_tpu.cli import get_args
+
+    args, _, _, _, _ = get_args(
+        ["--decoder_mode", "ctc", "--bpe", "false",
+         "--profile_trace", "/tmp/tr", "--profile_steps", "3"])
+    assert args.profile_trace == "/tmp/tr" and args.profile_steps == 3
+    args, _, _, _, _ = get_args(["--decoder_mode", "ctc", "--bpe", "false"])
+    assert args.profile_trace is None and args.profile_steps == 10

@@ -185,6 +185,10 @@ def main(argv=None):
 
     best_loss = float("inf")
     log_every = 50
+    # --profile_trace: capture steps [1, 1+profile_steps) of the first
+    # epoch (step 0 is the compile; tracing it drowns the timeline)
+    prof = {"dir": args.profile_trace, "left": args.profile_steps,
+            "on": False}
     for epoch in range(start_epoch, train_cfg.n_epochs):
         t0 = time.time()
         # Metrics stay on device between host fetches: a scalar fetch is a
@@ -196,7 +200,17 @@ def main(argv=None):
         n_batches = 0
         host_step = int(state["step"])
         for i, batch in enumerate(pipe.epoch(epoch)):
+            if prof["dir"] and not prof["on"] and i == 1:
+                jax.profiler.start_trace(prof["dir"])
+                prof["on"] = True
             state, metrics = step_fn(state, place_batch(batch), step_rng)
+            if prof["on"]:
+                prof["left"] -= 1
+                if prof["left"] <= 0:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    prof.update(on=False, dir=None)
+                    print(f"profiler trace written to {args.profile_trace}")
             loss_sum = loss_sum + metrics["loss"]
             n_batches += 1
             host_step += 1
