@@ -97,7 +97,21 @@ def avg_models(directory: str, start: int, end: int, params_template,
     if start > end:
         raise ValueError("avg_model_start must be <= avg_model_end")
     acc = None
+    dtypes = None
     count = 0
+
+    def _up(a):
+        # accumulate wide: summing a window of bf16 checkpoints in bf16
+        # loses mantissa (the reference sums fp32 torch tensors). NOTE
+        # jnp.issubdtype, not np: ml_dtypes floats (bfloat16) are not
+        # np.floating, and missing them here would SUM instead of
+        # average (the pre-fix behavior for bf16 leaves).
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(np.float64)
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            return a.astype(np.int64)
+        return a
+
     for epoch in range(start, end + 1):
         path = model_ckpt_path(directory, epoch)
         if epoch != start and not os.path.exists(path):
@@ -106,16 +120,20 @@ def avg_models(directory: str, start: int, end: int, params_template,
                             "model_state": model_state_template}, path)
         tree = _to_host(tree)
         if acc is None:
-            acc = tree
+            dtypes = jax.tree_util.tree_map(lambda a: a.dtype, tree)
+            acc = jax.tree_util.tree_map(_up, tree)
         else:
-            acc = jax.tree_util.tree_map(lambda a, b: a + b, acc, tree)
+            acc = jax.tree_util.tree_map(lambda a, b: a + _up(b), acc,
+                                         tree)
         count += 1
     if acc is None:
         raise FileNotFoundError(f"no checkpoints in [{start},{end}] under "
                                 f"{directory}")
     avg = jax.tree_util.tree_map(
-        lambda a: (a / count).astype(a.dtype) if np.issubdtype(a.dtype, np.floating)
-        else a // count if np.issubdtype(a.dtype, np.integer) else a, acc)
+        lambda a, dt: (a / count).astype(dt)
+        if jnp.issubdtype(dt, jnp.floating)
+        else (a // count).astype(dt) if jnp.issubdtype(dt, jnp.integer)
+        else a, acc, dtypes)
     avg = _to_device(avg)
     return avg["params"], avg["model_state"]
 

@@ -90,3 +90,21 @@ def test_loads_return_device_arrays(tmp_path):
                  checkpoint.avg_models(d, 0, 1, params, state)):
         for leaf in jax.tree_util.tree_leaves((p, s)):
             assert isinstance(leaf, jax.Array), type(leaf)
+
+
+def test_avg_models_accumulates_wide_for_bf16(tmp_path):
+    """Averaging a window of identical bf16 checkpoints must return the
+    common value EXACTLY — bf16-dtype accumulation drifts (each add and
+    the /count round at 8 mantissa bits; the reference sums fp32
+    torch tensors, util/model_utils.py:28-46)."""
+    import jax.numpy as jnp
+
+    d = str(tmp_path)
+    val = jnp.full((7, 5), 0.1, jnp.bfloat16)
+    template = {"w": jnp.zeros((7, 5), jnp.bfloat16)}
+    for epoch in range(20):
+        checkpoint.save_epoch(d, epoch, {"w": val}, {})
+    params, _ = checkpoint.avg_models(d, 0, 19, template, {})
+    assert params["w"].dtype == jnp.bfloat16
+    assert (np.asarray(params["w"], np.float32)
+            == np.asarray(val, np.float32)).all()
