@@ -205,7 +205,11 @@ def main():
                "n_train": args.n_train, "n_test": args.n_test,
                "words_range": [args.min_words, args.max_words],
                "train_audio_h": round(audio["train_audio_s"] / 3600, 2),
-               "compute_dtype": args.compute_dtype}
+               "compute_dtype": args.compute_dtype,
+               "corpus_knobs": {"noise": args.noise,
+                                "speaker_warp": args.speaker_warp,
+                                "dur_jitter": args.dur_jitter,
+                                "amp_jitter": args.amp_jitter}}
 
     if not args.skip_train:
         sa = (["--specaugment", "true"] if args.specaugment else [])
