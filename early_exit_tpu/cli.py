@@ -156,6 +156,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode", type=str, default="greedy",
                    choices=["greedy", "prefix_beam", "lexicon_beam"],
                    help="CTC decoding strategy at inference.")
+    p.add_argument("--rescore_ctc_weight", type=float, default=0.0,
+                   help="AED mode: re-rank each exit's beam n-best by the "
+                        "joint max-normalized CTC+attention score — the "
+                        "reference's commented-out rescoring branch "
+                        "(util/beam_infer.py:309-383), completed with the "
+                        "exact CTC log-marginal (decoding/rescore.py). "
+                        "0 (default) keeps the pure attention ranking.")
     p.add_argument("--eval_splits", type=str,
                    default="test-clean,test-other",
                    help="Comma-separated LibriSpeech splits to decode "

@@ -325,10 +325,25 @@ def run_aed(model, model_cfg, state, pipe, split, tokenizer, lex, args):
     the trunk runs ONCE for all exits (the reference re-runs `_encoder_`
     from scratch per exit, O(n²) trunk work), and the beam search is
     batched across the bucket's utterances with a KV cache (the reference
-    decodes one utterance at a time re-running the decoder per step)."""
+    decodes one utterance at a time re-running the decoder per step).
+
+    --rescore_ctc_weight > 0 additionally re-ranks each exit's n-best by
+    the joint max-normalized CTC+attention score (decoding/rescore.py —
+    the reference's commented-out util/beam_infer.py:309-383 path,
+    completed)."""
     from early_exit_tpu.models import full_conformer
+    from early_exit_tpu.models.early_conformer import apply_heads
     encode = jax.jit(lambda p, s, f, l: full_conformer.encode(
         p, s, f, l, model_cfg, train=False)[:2])
+    rescore_w = float(args.rescore_ctc_weight)
+    if rescore_w > 0.0:
+        from early_exit_tpu.decoding import rescore as rescore_mod
+        ctc_logp_fn = jax.jit(lambda p, h: apply_heads(
+            p["heads"], h, model_cfg))
+        rescore_fn = jax.jit(lambda lp, nf, tk, ln, sc: rescore_mod.
+                             rescore_batch(lp, nf, tk, ln, sc,
+                                           ctc_weight=rescore_w,
+                                           blank=model_cfg.blank_id)[0])
     wers = [WerAccumulator() for _ in range(model_cfg.n_enc_exits)]
     for batch in pipe.epoch(0):
         mask = np.asarray(batch["item_mask"]).astype(bool)
@@ -352,11 +367,16 @@ def run_aed(model, model_cfg, state, pipe, split, tokenizer, lex, args):
                 print(split, "EXPECTED:", refs[b])
         max_len = _bucket(max(max_lens))
         min_len_arr = jnp.asarray(min_lens)
+        ctc_logp = (ctc_logp_fn(state["params"], exit_hidden)
+                    if rescore_w > 0.0 else None)
         for n in range(1, model_cfg.n_enc_exits + 1):
             toks, lens, scores, best = aed_beam.beam_search_exit_batch(
                 state["params"], exit_hidden[n - 1], min_len_arr,
                 model_cfg, n_exit=n, beam_size=args.beam_size,
                 max_length=max_len, pen_alpha=args.pen_alpha)
+            if rescore_w > 0.0:
+                best = rescore_fn(ctc_logp[n - 1], sub_len, toks, lens,
+                                  scores)
             toks, lens, best = (np.asarray(toks), np.asarray(lens),
                                 np.asarray(best))
             for b in range(B):
