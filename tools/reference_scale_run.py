@@ -110,6 +110,9 @@ def main():
                          "(late window; a 0..N average is dominated by "
                          "early garbage epochs)")
     ap.add_argument("--exit_threshold", type=float, default=0.85)
+    ap.add_argument("--rescore_ctc_weight", type=float, default=0.3,
+                    help="CTC weight for the AED n-best rescoring leg "
+                         "(decoding/rescore.py)")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing checkpoint in workdir")
     ap.add_argument("--distill", action="store_true",
@@ -255,6 +258,13 @@ def main():
                   env, log)
         summary["aed_beam_wer_pct"] = both(out)
         summary["eval_utts"] = len(re.findall(r"test-clean EXPECTED:", out))
+        # joint CTC+attention rescoring of the n-best (the reference's
+        # commented-out util/beam_infer.py:309-383 path, completed)
+        out = run(infer_base + ["--beam_size", str(args.beam_size),
+                                "--rescore_ctc_weight",
+                                str(args.rescore_ctc_weight)], env, log)
+        summary["aed_rescored_wer_pct"] = both(out)
+        summary["rescore_ctc_weight"] = args.rescore_ctc_weight
         last_epoch = int(re.match(r"mod(\d+)-transformer", ckpts[-1])[1])
         # average a LATE window, not the full history: early garbage
         # epochs dominate a 0..N average (measured: 96.2% vs 28.8% WER
