@@ -156,6 +156,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode", type=str, default="greedy",
                    choices=["greedy", "prefix_beam", "lexicon_beam"],
                    help="CTC decoding strategy at inference.")
+    p.add_argument("--timestamps", type=_bool, default=False,
+                   help="CTC mode (greedy/prefix_beam): print per-word "
+                        "start/end seconds + confidence for the final "
+                        "exit, via forced alignment of the hypothesis "
+                        "(decoding/timestamps.py; the reference computes "
+                        "the trellis, util/beam_infer.py:129-191, but "
+                        "never surfaces timestamps).")
     p.add_argument("--rescore_ctc_weight", type=float, default=0.0,
                    help="AED mode: re-rank each exit's beam n-best by the "
                         "joint max-normalized CTC+attention score — the "

@@ -306,14 +306,26 @@ def run_ctc(model, model_cfg, state, pipe, split, tokenizer, lex, args):
                 continue
             toks, n = decode(logp[e], sub_len)
             toks, n = np.asarray(toks), np.asarray(n)
+            last_exit = e == logp.shape[0] - 1
             for b in range(toks.shape[0]):
                 if not mask[b]:
                     continue
-                hyp = tokenizer.decode(
-                    [int(t) for t in toks[b][:n[b]]]).lower()
+                ids = [int(t) for t in toks[b][:n[b]]]
+                hyp = tokenizer.decode(ids).lower()
                 if lex is not None:
                     hyp = lex.apply(hyp)
                 print(split, "BEAM_OUT_", e + 1, ":", hyp)
+                if args.timestamps and last_exit and ids:
+                    from early_exit_tpu.decoding import timestamps as ts
+                    audio_s = (float(batch["feat_lengths"][b])
+                               * args.hop_length / args.sample_rate)
+                    spans = ts.word_timestamps(
+                        logp[e][b], int(sub_len[b]), ids,
+                        ts.pieces_of(tokenizer, ids),
+                        blank=model_cfg.blank_id,
+                        seconds_per_frame=audio_s
+                        / max(int(sub_len[b]), 1))
+                    print(split, "TIMESTAMPS:", ts.format_spans(spans))
                 wers[e].add(refs[b], hyp)
     for e, acc in enumerate(wers or []):
         print(f"{split} WER exit {e + 1}: {100 * acc.value:.2f}% "
