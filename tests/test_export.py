@@ -1,0 +1,157 @@
+"""AOT serving export (serving/export.py): serialize -> load -> parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from early_exit_tpu.configs import AudioConfig, ModelConfig
+from early_exit_tpu.models.registry import build_model
+from early_exit_tpu.serving import export as exp
+
+CFG = ModelConfig(d_model=32, n_heads=4, d_feed_forward=64,
+                  n_enc_exits=2, n_enc_layers_per_exit=1,
+                  depthwise_kernel_size=7, vocab_size=40, n_mels=16,
+                  compute_dtype="float32")
+ACFG = AudioConfig(n_mels=16)
+
+
+def _setup():
+    model = build_model(CFG)
+    params, state = model.init(jax.random.PRNGKey(0), CFG)
+    return model, params, state
+
+
+def _wav(b, s, seed=0):
+    rng = np.random.RandomState(seed)
+    wav = (rng.randn(b, s) * 0.1).astype(np.float32)
+    n = np.asarray([s - 160 * i for i in range(b)], np.int32)
+    return wav, n
+
+
+def test_roundtrip_parity(tmp_path):
+    model, params, state = _setup()
+    bundle = exp.export_recognizer(model, CFG, ACFG, params, state,
+                                   [(2, 4000)], platforms=["cpu"])
+    path = str(tmp_path / "m.eetx")
+    exp.save_bundle(path, bundle)
+
+    rec = exp.ExportedRecognizer(path)
+    wav, n = _wav(2, 4000)
+    toks, n_tok, conf = rec(wav, n)
+
+    serve = exp.make_serve_fn(model, CFG, ACFG, params, state)
+    ref = jax.jit(serve)(jnp.asarray(wav), jnp.asarray(n))
+    assert toks.shape[0] == CFG.n_enc_exits and toks.shape[1] == 2
+    np.testing.assert_array_equal(toks, np.asarray(ref[0]))
+    np.testing.assert_array_equal(n_tok, np.asarray(ref[1]))
+    np.testing.assert_allclose(conf, np.asarray(ref[2]), atol=1e-5)
+    assert np.all((conf > 0) & (conf <= 1))
+
+
+def test_padding_to_covering_shape(tmp_path):
+    model, params, state = _setup()
+    bundle = exp.export_recognizer(model, CFG, ACFG, params, state,
+                                   [(2, 4000), (4, 8000)],
+                                   platforms=["cpu"])
+    path = str(tmp_path / "m.eetx")
+    exp.save_bundle(path, bundle)
+    rec = exp.ExportedRecognizer(path)
+
+    # B=1, S=3000 -> padded into the (2, 4000) program; trimmed back
+    wav, n = _wav(1, 3000, seed=1)
+    toks, n_tok, conf = rec(wav, n)
+    assert toks.shape[1] == 1 and n_tok.shape == (CFG.n_enc_exits, 1)
+
+    # the same utterance zero-padded by the caller gives the same decode
+    wav4 = np.pad(wav, ((0, 0), (0, 1000)))
+    toks2, n_tok2, _ = rec(wav4, n)
+    np.testing.assert_array_equal(n_tok, n_tok2)
+    for e in range(CFG.n_enc_exits):
+        np.testing.assert_array_equal(toks[e, 0, :n_tok[e, 0]],
+                                      toks2[e, 0, :n_tok2[e, 0]])
+
+    # nothing covers B=8
+    with pytest.raises(ValueError, match="no exported shape"):
+        rec(*_wav(8, 4000))
+
+
+def test_manifest_and_vocab(tmp_path):
+    class Tok:
+        def get_piece_size(self):
+            return 6
+
+        def id_to_piece(self, i):
+            return ["<blank>", "▁he", "llo", "▁yo", "<s>", "</s>"][i]
+
+    model, params, state = _setup()
+    bundle = exp.export_recognizer(model, CFG, ACFG, params, state,
+                                   [(2, 4000)], platforms=["cpu"],
+                                   tokenizer=Tok())
+    path = str(tmp_path / "m.eetx")
+    exp.save_bundle(path, bundle)
+    rec = exp.ExportedRecognizer(path)
+    m = rec.manifest
+    assert m["format"] == "eet-export-1"
+    assert m["platforms"] == ["cpu"]
+    assert m["n_exits"] == CFG.n_enc_exits
+    assert m["shapes"]["2x4000"]["wav"] == [2, 4000]
+    assert rec.detokenize([1, 2, 4, 3]) == "hello yo"
+
+
+def test_symbolic_program(tmp_path):
+    """One shape-polymorphic program serves any (B, S) under the bound,
+    exactly matching the jit of the same fn — and the concrete bucket is
+    preferred when it covers."""
+    model, params, state = _setup()
+    bundle = exp.export_recognizer(model, CFG, ACFG, params, state,
+                                   [(2, 4000)], platforms=["cpu"],
+                                   symbolic_max_samples=16000)
+    path = str(tmp_path / "m.eetx")
+    exp.save_bundle(path, bundle)
+    rec = exp.ExportedRecognizer(path)
+    assert "poly" in rec.manifest["shapes"]
+    assert rec.manifest["n_exits"] == CFG.n_enc_exits
+
+    serve = jax.jit(exp.make_serve_fn(model, CFG, ACFG, params, state))
+    # no concrete bucket covers (3, 6000): the poly program runs it
+    # unpadded, so outputs equal the direct jit bit-for-bit
+    for b, s, seed in [(3, 6000, 2), (1, 9000, 3)]:
+        wav, n = _wav(b, s, seed=seed)
+        toks, n_tok, conf = rec(wav, n)
+        ref = serve(jnp.asarray(wav), jnp.asarray(n))
+        np.testing.assert_array_equal(toks, np.asarray(ref[0]))
+        np.testing.assert_array_equal(n_tok, np.asarray(ref[1]))
+        np.testing.assert_allclose(conf, np.asarray(ref[2]), atol=1e-5)
+
+    # above the bound: rejected, and the error names the poly fallback
+    with pytest.raises(ValueError, match="poly"):
+        rec(*_wav(1, 32000))
+
+
+def test_symbolic_only_bundle(tmp_path):
+    model, params, state = _setup()
+    bundle = exp.export_recognizer(model, CFG, ACFG, params, state,
+                                   [], platforms=["cpu"],
+                                   symbolic_max_samples=8000)
+    path = str(tmp_path / "m.eetx")
+    exp.save_bundle(path, bundle)
+    rec = exp.ExportedRecognizer(path)
+    wav, n = _wav(2, 4000)
+    toks, n_tok, conf = rec(wav, n)
+    assert toks.shape[0] == CFG.n_enc_exits and toks.shape[1] == 2
+    with pytest.raises(ValueError):
+        exp.export_recognizer(model, CFG, ACFG, params, state, [],
+                              platforms=["cpu"])
+
+
+def test_rejects_non_bundle(tmp_path):
+    import json
+    import zipfile
+    path = str(tmp_path / "bad.eetx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("manifest.json", json.dumps({"format": "nope"}))
+    with pytest.raises(ValueError, match="not an eet export bundle"):
+        exp.load_bundle(path)
