@@ -17,6 +17,11 @@ Bundle format: a plain zip archive —
   manifest.json                per-program shapes + model/audio metadata
   programs/<B>x<S>.bin         serialized jax.export.Exported, one per
                                padded (batch, samples) bucket shape
+  programs/poly.bin            optional shape-polymorphic program
+                               (symbolic (b, s) dims)
+  programs/gated/<key>.bin     optional confidence-gated variants (the
+                               while_loop early-exit path, threshold as
+                               a runtime scalar)
   vocab.json (optional)        id → piece table so a bare consumer can
                                detokenize greedy output
 
@@ -40,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from early_exit_tpu.configs import AudioConfig, ModelConfig
+from early_exit_tpu.models import early_exit_gate
 from early_exit_tpu.models.early_exit_gate import exit_confidence
 from early_exit_tpu.ops import ctc as ctc_ops
 from early_exit_tpu.ops import frontend
@@ -84,12 +90,42 @@ def make_serve_fn(model, model_cfg: ModelConfig, audio_cfg: AudioConfig,
     return serve
 
 
+def make_gated_serve_fn(model_cfg: ModelConfig, audio_cfg: AudioConfig,
+                        params, model_state, *,
+                        gate_score: str = "maxprob"):
+    """The work-avoiding variant: the lax.while_loop gate runs the trunk
+    exit-by-exit and STOPS once every item clears `threshold` — later
+    stacks are genuinely skipped (models/early_exit_gate.py, the ≥2×
+    north-star path). threshold stays a runtime scalar argument so a
+    deployment can trade latency for quality without re-exporting.
+
+    (wav f32 (B, S), n_samples i32 (B,), threshold f32 ()) ->
+        tokens i32 (B, T'), n_tok i32 (B,), chosen_exit i32 (B,)
+    """
+
+    def serve(wav, n_samples, threshold):
+        feats = frontend.mel_spectrogram(wav, audio_cfg,
+                                         method=audio_cfg.mel_method)
+        lengths = frontend.mel_lengths(n_samples, audio_cfg.hop_length)
+        item_mask = (n_samples > 0).astype(jnp.float32)
+        logp, chosen, sub_len, _ = early_exit_gate.gated_apply(
+            params, model_state, feats, lengths, model_cfg,
+            threshold=threshold, item_mask=item_mask, score=gate_score)
+        toks, n_tok = ctc_ops.greedy_decode(logp, sub_len,
+                                            blank=model_cfg.blank_id)
+        return (toks.astype(jnp.int32), n_tok.astype(jnp.int32),
+                chosen.astype(jnp.int32))
+
+    return serve
+
+
 def export_recognizer(model, model_cfg: ModelConfig,
                       audio_cfg: AudioConfig, params, model_state,
                       shapes: Sequence[Tuple[int, int]] = (), *,
                       platforms: Sequence[str] = ("tpu",),
                       gate_score: str = "maxprob",
                       symbolic_max_samples: int | None = None,
+                      gated: bool = False,
                       tokenizer=None) -> ExportBundle:
     """Lower + serialize the serve program for each (B, S) bucket shape.
 
@@ -111,13 +147,20 @@ def export_recognizer(model, model_cfg: ModelConfig,
     serve = make_serve_fn(model, model_cfg, audio_cfg, params,
                           model_state, gate_score=gate_score)
     jitted = jax.jit(serve)
+    gated_jitted = None
+    if gated:
+        gated_jitted = jax.jit(make_gated_serve_fn(
+            model_cfg, audio_cfg, params, model_state,
+            gate_score=gate_score))
+    thr_aval = jax.ShapeDtypeStruct((), jnp.float32)
     programs: Dict[str, bytes] = {}
     meta_shapes = {}
     n_exits = None
     for b, s in shapes:
+        wav_aval = jax.ShapeDtypeStruct((b, s), jnp.float32)
+        n_aval = jax.ShapeDtypeStruct((b,), jnp.int32)
         exp = jax.export.export(jitted, platforms=list(platforms))(
-            jax.ShapeDtypeStruct((b, s), jnp.float32),
-            jax.ShapeDtypeStruct((b,), jnp.int32))
+            wav_aval, n_aval)
         programs[_shape_key(b, s)] = exp.serialize()
         out = exp.out_avals
         n_exits = int(out[2].shape[0])
@@ -127,6 +170,11 @@ def export_recognizer(model, model_cfg: ModelConfig,
             "n_tok": list(out[1].shape),
             "conf": list(out[2].shape),
         }
+        if gated_jitted is not None:
+            gexp = jax.export.export(
+                gated_jitted, platforms=list(platforms))(
+                    wav_aval, n_aval, thr_aval)
+            programs["gated/" + _shape_key(b, s)] = gexp.serialize()
     if symbolic_max_samples is not None:
         # lower bound: the symbolic length arithmetic must PROVE the
         # twice-strided subsampler output length is positive (else the
@@ -137,9 +185,10 @@ def export_recognizer(model, model_cfg: ModelConfig,
             "b, s", constraints=[f"s >= {s_min}",
                                  f"s <= {int(symbolic_max_samples)}",
                                  "b >= 1"])
+        wav_aval = jax.ShapeDtypeStruct((b, s), jnp.float32)
+        n_aval = jax.ShapeDtypeStruct((b,), jnp.int32)
         exp = jax.export.export(jitted, platforms=list(platforms))(
-            jax.ShapeDtypeStruct((b, s), jnp.float32),
-            jax.ShapeDtypeStruct((b,), jnp.int32))
+            wav_aval, n_aval)
         programs["poly"] = exp.serialize()
         n_exits = int(exp.out_avals[2].shape[0])
         meta_shapes["poly"] = {
@@ -147,6 +196,11 @@ def export_recognizer(model, model_cfg: ModelConfig,
             "min_samples": s_min,
             "max_samples": int(symbolic_max_samples),
         }
+        if gated_jitted is not None:
+            gexp = jax.export.export(
+                gated_jitted, platforms=list(platforms))(
+                    wav_aval, n_aval, thr_aval)
+            programs["gated/poly"] = gexp.serialize()
     if not programs:
         raise ValueError("export_recognizer: need shapes and/or "
                          "symbolic_max_samples")
@@ -154,6 +208,7 @@ def export_recognizer(model, model_cfg: ModelConfig,
         "format": _FORMAT,
         "platforms": list(platforms),
         "gate_score": gate_score,
+        "gated": bool(gated),
         "blank_id": int(model_cfg.blank_id),
         "n_exits": n_exits,
         "sample_rate": int(audio_cfg.sample_rate),
@@ -211,7 +266,8 @@ class ExportedRecognizer:
         self._fns: Dict[str, object] = {}
         self._shapes = sorted(
             (int(k.split("x")[0]), int(k.split("x")[1]))
-            for k in self.bundle.programs if k != "poly")
+            for k in self.bundle.programs
+            if k != "poly" and not k.startswith("gated/"))
         self._poly = self.bundle.manifest["shapes"].get("poly") \
             if "poly" in self.bundle.programs else None
 
@@ -249,9 +305,7 @@ class ExportedRecognizer:
             self._fns[key] = exp.call
         return self._fns[key]
 
-    def __call__(self, wav: np.ndarray, n_samples: np.ndarray):
-        """wav (B, S) float32, n_samples (B,) -> (tokens (E, B, T'),
-        n_tok (E, B), conf (E, B)) trimmed back to the true batch."""
+    def _padded(self, wav: np.ndarray, n_samples: np.ndarray):
         wav = np.asarray(wav, np.float32)
         n_samples = np.asarray(n_samples, np.int32)
         b, s = wav.shape
@@ -261,10 +315,29 @@ class ExportedRecognizer:
             n_samples = np.pad(n_samples, (0, pb - b))
         key = (_shape_key(pb, ps) if (pb, ps) in self._shapes
                else "poly")
-        toks, n_tok, conf = self._fn(key)(
-            jnp.asarray(wav), jnp.asarray(n_samples))
+        return key, jnp.asarray(wav), jnp.asarray(n_samples), b
+
+    def __call__(self, wav: np.ndarray, n_samples: np.ndarray):
+        """wav (B, S) float32, n_samples (B,) -> (tokens (E, B, T'),
+        n_tok (E, B), conf (E, B)) trimmed back to the true batch."""
+        key, wav, n_samples, b = self._padded(wav, n_samples)
+        toks, n_tok, conf = self._fn(key)(wav, n_samples)
         return (np.asarray(toks)[:, :b], np.asarray(n_tok)[:, :b],
                 np.asarray(conf)[:, :b])
+
+    def gated(self, wav: np.ndarray, n_samples: np.ndarray,
+              threshold: float):
+        """Confidence-gated decode (bundle must be exported with
+        gated=True): the program stops at the first exit where every
+        item clears `threshold` — later trunk stacks never run. Returns
+        (tokens (B, T'), n_tok (B,), chosen_exit (B,) 1-based)."""
+        if not self.manifest.get("gated"):
+            raise ValueError("bundle was exported without gated=True")
+        key, wav, n_samples, b = self._padded(wav, n_samples)
+        toks, n_tok, chosen = self._fn("gated/" + key)(
+            wav, n_samples, jnp.float32(threshold))
+        return (np.asarray(toks)[:b], np.asarray(n_tok)[:b],
+                np.asarray(chosen)[:b])
 
     def detokenize(self, ids: Sequence[int]) -> str:
         """Greedy-output ids -> text via the bundled vocab table (the

@@ -147,6 +147,61 @@ def test_symbolic_only_bundle(tmp_path):
                               platforms=["cpu"])
 
 
+def test_gated_programs(tmp_path):
+    """gated=True bundles carry while_loop early-exit variants with the
+    threshold as a runtime scalar; outputs match gated_apply directly."""
+    import jax.numpy as jnp
+    from early_exit_tpu.models import early_exit_gate
+    from early_exit_tpu.ops import ctc as ctc_ops
+    from early_exit_tpu.ops import frontend
+
+    model, params, state = _setup()
+    bundle = exp.export_recognizer(model, CFG, ACFG, params, state,
+                                   [(2, 4000)], platforms=["cpu"],
+                                   symbolic_max_samples=16000,
+                                   gated=True)
+    path = str(tmp_path / "m.eetx")
+    exp.save_bundle(path, bundle)
+    rec = exp.ExportedRecognizer(path)
+    assert rec.manifest["gated"]
+
+    for b, s, seed in [(2, 4000, 0), (3, 6000, 2)]:   # bucket + poly
+        wav, n = _wav(b, s, seed=seed)
+        for thr in (0.0, 0.99):
+            toks, n_tok, chosen = rec.gated(wav, n, thr)
+            assert toks.shape[0] == b and chosen.shape == (b,)
+            assert np.all((chosen >= 1) & (chosen <= CFG.n_enc_exits))
+            # oracle: run gated_apply on the same (padded-free) input
+            feats = frontend.mel_spectrogram(
+                jnp.asarray(wav), ACFG, method=ACFG.mel_method)
+            lengths = frontend.mel_lengths(jnp.asarray(n),
+                                           ACFG.hop_length)
+            logp, chosen_ref, sub_len, _ = early_exit_gate.gated_apply(
+                params, state, feats, lengths, CFG, threshold=thr,
+                item_mask=(jnp.asarray(n) > 0).astype(jnp.float32))
+            toks_ref, n_ref = ctc_ops.greedy_decode(
+                logp, sub_len, blank=CFG.blank_id)
+            np.testing.assert_array_equal(chosen, np.asarray(chosen_ref))
+            np.testing.assert_array_equal(n_tok, np.asarray(n_ref))
+            for i in range(b):
+                np.testing.assert_array_equal(
+                    toks[i, :n_tok[i]],
+                    np.asarray(toks_ref)[i, :n_ref[i]])
+        # threshold 0 accepts exit 1 everywhere; 0.99 escalates deeper
+        # (or equal) — monotonicity of the gate in the threshold
+        _, _, c_lo = rec.gated(wav, n, 0.0)
+        _, _, c_hi = rec.gated(wav, n, 0.99)
+        assert np.all(c_lo == 1) and np.all(c_hi >= c_lo)
+
+    # ungated bundle refuses
+    b2 = exp.export_recognizer(model, CFG, ACFG, params, state,
+                               [(2, 4000)], platforms=["cpu"])
+    p2 = str(tmp_path / "m2.eetx")
+    exp.save_bundle(p2, b2)
+    with pytest.raises(ValueError, match="gated"):
+        exp.ExportedRecognizer(p2).gated(*_wav(2, 4000), 0.5)
+
+
 def test_rejects_non_bundle(tmp_path):
     import json
     import zipfile

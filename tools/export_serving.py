@@ -61,6 +61,10 @@ def main(argv=None):
                      help="also export ONE shape-polymorphic program "
                           "valid up to this many samples (consumer "
                           "compiles per concrete shape at call time)")
+    own.add_argument("--export_gated", default="false",
+                     help="true: also export confidence-gated variants "
+                          "(while_loop early exit, threshold a runtime "
+                          "scalar) — rec.gated(wav, n, threshold)")
     mine, rest = own.parse_known_args(argv)
 
     args, model_cfg, _, audio_cfg, tokenizer = get_args(rest, mode="infer")
@@ -92,10 +96,11 @@ def main(argv=None):
         model, model_cfg, audio_cfg, params, model_state, shapes,
         platforms=platforms, gate_score=gate,
         symbolic_max_samples=mine.export_symbolic_max,
+        gated=mine.export_gated.lower() in ("true", "1", "yes"),
         tokenizer=tokenizer)
     exp.save_bundle(mine.export_path, bundle)
     size = os.path.getsize(mine.export_path)
-    n_prog = len(shapes) + (1 if mine.export_symbolic_max else 0)
+    n_prog = len(bundle.programs)
     print(f"exported {n_prog} program(s) x {platforms} "
           f"-> {mine.export_path} ({size / 1e6:.1f} MB)")
 
