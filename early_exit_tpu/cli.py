@@ -50,6 +50,12 @@ def get_parser() -> argparse.ArgumentParser:
 
     # checkpoints
     p.add_argument("--save_model_dir", type=str, default="/trained_model")
+    p.add_argument("--keep_last_ckpts", type=int, default=0,
+                   help="keep only the newest N saved epoch checkpoints "
+                        "(model+optimizer pairs); 0 = keep all (the "
+                        "reference behavior — ~1 GB/epoch at reference "
+                        "dims, which fills a disk on multi-hundred-epoch "
+                        "runs)")
     p.add_argument("--load_model_path", type=str, default=None)
     p.add_argument("--load_model_dir", type=str, default=None)
     p.add_argument("--avg_model_start", type=int, default=None)

@@ -138,6 +138,40 @@ def avg_models(directory: str, start: int, end: int, params_template,
     return avg["params"], avg["model_state"]
 
 
+def saved_epochs(directory: str) -> list:
+    """Sorted epoch numbers with a model checkpoint on disk."""
+    if not os.path.isdir(directory):
+        return []
+    out = []
+    for name in os.listdir(directory):
+        if name.startswith("mod") and name.endswith("-transformer"):
+            try:
+                out.append(int(name[3:6]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def prune_old(directory: str, keep_last: int, protect=()) -> list:
+    """Delete model+optimizer checkpoints older than the newest
+    `keep_last` SAVED epochs (train.py saves only improving epochs, so
+    retention counts saved files, not epoch indices). keep_last <= 0
+    keeps everything (the reference keeps every epoch —
+    train.py:122-128 — which at reference scale is ~1 GB/epoch and
+    fills a disk on long runs). Epochs in `protect` are never deleted.
+    Returns the pruned epoch numbers."""
+    if keep_last <= 0:
+        return []
+    epochs = saved_epochs(directory)
+    victims = [e for e in epochs[:-keep_last] if e not in set(protect)]
+    for e in victims:
+        for path in (model_ckpt_path(directory, e),
+                     opt_ckpt_path(directory, e)):
+            if os.path.exists(path):
+                os.unlink(path)
+    return victims
+
+
 def latest_epoch(directory: str) -> Optional[int]:
     """Scan for the newest saved epoch (auto-resume; replaces the
     vestigial resume at train.py:97-111)."""

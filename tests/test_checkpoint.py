@@ -108,3 +108,30 @@ def test_avg_models_accumulates_wide_for_bf16(tmp_path):
     assert params["w"].dtype == jnp.bfloat16
     assert (np.asarray(params["w"], np.float32)
             == np.asarray(val, np.float32)).all()
+
+
+def test_prune_old_retention(tmp_path):
+    """--keep_last_ckpts semantics: keep the newest N SAVED epochs
+    (save-on-best makes epoch numbers sparse), delete model+optimizer
+    pairs together, never touch protected epochs."""
+    d = str(tmp_path / "ckpt")
+    params, state = early_conformer.init(jax.random.PRNGKey(0), TINY)
+    for e in (0, 2, 5, 9, 12):   # sparse, as save-on-best produces
+        checkpoint.save_epoch(d, e, params, state, opt_state={"x": 1},
+                              step=e)
+
+    assert checkpoint.prune_old(d, 0) == []          # 0 = keep all
+    assert checkpoint.saved_epochs(d) == [0, 2, 5, 9, 12]
+
+    # keep newest 3 saved = {5, 9, 12}; epoch 2 is protected
+    assert checkpoint.prune_old(d, 3, protect=(2,)) == [0]
+    assert checkpoint.saved_epochs(d) == [2, 5, 9, 12]
+    assert checkpoint.prune_old(d, 2) == [2, 5]
+    assert checkpoint.saved_epochs(d) == [9, 12]
+    # optimizer files pruned alongside
+    assert not os.path.exists(checkpoint.opt_ckpt_path(d, 0))
+    assert os.path.exists(checkpoint.opt_ckpt_path(d, 9))
+    # auto-resume still finds the newest pair
+    assert checkpoint.latest_epoch(d) == 12
+
+    assert checkpoint.prune_old(d, 10) == []         # fewer than keep

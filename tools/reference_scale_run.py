@@ -218,10 +218,16 @@ def main():
         sa = (["--specaugment", "true"] if args.specaugment else [])
         if args.distill:
             sa += ["--distill", "true"]
+        # retention: reference-dims checkpoints are ~1 GB/epoch (model +
+        # optimizer); keeping every epoch filled the disk at epoch 119 of
+        # a 192-epoch run. Keep enough for the --avg_last window plus
+        # slack for eval-time choices.
+        keep = max(3 * args.avg_last, 24)
         train_out = run([sys.executable, os.path.join(REPO, "train.py"),
                          "--decoder_mode", args.decoder_mode,
                          "--n_epochs", str(args.epochs),
                          "--seed", str(args.seed),
+                         "--keep_last_ckpts", str(keep),
                          "--save_model_dir", moddir, *sa, *common],
                         env, log)
         losses = [float(m) for m in re.findall(

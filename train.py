@@ -239,6 +239,11 @@ def main(argv=None):
             checkpoint.save_epoch(moddir, epoch, state["params"],
                                   state["model_state"],
                                   state["opt_state"], state["step"])
+            pruned = checkpoint.prune_old(moddir, args.keep_last_ckpts)
+            if pruned:
+                print(f"pruned {len(pruned)} old checkpoint(s) "
+                      f"(--keep_last_ckpts {args.keep_last_ckpts}): "
+                      f"epochs {pruned[0]}..{pruned[-1]}")
         else:
             print("WORST: not saving epoch", epoch)
 
