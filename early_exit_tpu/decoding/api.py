@@ -87,6 +87,7 @@ class DecoderSuite:
 
     # -- alignment ---------------------------------------------------------
     def align(self, emission, tokens):
-        """Forced alignment -> (per-token start frames, path score)."""
+        """Forced alignment -> (per-token start frames, per-token end
+        frames, path score)."""
         return forced_align.forced_align(emission, tokens,
                                          blank=self.cfg.blank_id)

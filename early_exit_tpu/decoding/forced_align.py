@@ -76,17 +76,54 @@ def backtrack(trellis: jax.Array, emission: jax.Array, tokens: jax.Array,
     return path[::-1]
 
 
+_trellis_jit = jax.jit(get_trellis, static_argnums=(2,))
+
+
+def _bucket(n: int, g: int) -> int:
+    return max(((n + g - 1) // g) * g, g)
+
+
 def forced_align(emission: jax.Array, tokens: jax.Array,
-                 blank: int = 0):
-    """Convenience: per-token start frames. Returns (starts (L,) int array,
-    total best-path score)."""
+                 blank: int = 0, bucket: bool = True):
+    """Convenience: per-token start/end frames. Returns (starts (L,),
+    ends (L,), total best-path score). starts[j] is the frame where token
+    j is emitted; ends[j] is the LAST frame attributed to token j — the
+    frame before the path advances to token j+1 (blank "stay" frames
+    belong to the most recently emitted token, the torchaudio
+    merge_repeats convention), so a token held over several frames gets
+    its full span, not a 1-frame stub.
+
+    bucket=True pads (T, L) to quantized shapes so the lax.scan trellis
+    compiles once per bucket instead of once per utterance (per-utterance
+    shapes made `--timestamps` evals compile-dominated on TPU). Padding
+    is exact, not approximate: pad frames score 0 for blank and NEG for
+    every token (the DP just carries row T forward), and pad token
+    COLUMNS cannot influence the real ones — trellis column j depends
+    only on columns <= j — so slicing the padded trellis back to
+    (T+1, L+1) reproduces the unpadded DP bit-for-bit."""
     import numpy as np
-    tr = get_trellis(emission, tokens, blank)
-    pts = backtrack(tr, emission, tokens, blank)
-    L = int(tokens.shape[0])
+    em = np.asarray(emission, np.float32)
+    tk = np.asarray(tokens)
+    T, V = em.shape
+    L = int(tk.shape[0])
+    if bucket:
+        Tp, Lp = _bucket(T, 64), _bucket(L, 16)
+        em_p = np.full((Tp, V), NEG, np.float32)
+        em_p[:T] = em
+        em_p[T:, blank] = 0.0
+        tk_p = np.full((Lp,), blank, tk.dtype if tk.size else np.int32)
+        tk_p[:L] = tk
+        tr = np.asarray(_trellis_jit(jnp.asarray(em_p),
+                                     jnp.asarray(tk_p), blank))
+        tr = tr[:T + 1, :L + 1]
+    else:
+        tr = get_trellis(jnp.asarray(em), jnp.asarray(tk), blank)
+    pts = backtrack(tr, em, tk, blank)
     starts = np.full((L,), -1, np.int64)
-    for p in pts:
+    ends = np.full((L,), -1, np.int64)
+    for p in pts:                      # forward time order
         if starts[p.token_index] < 0:
             starts[p.token_index] = p.time_index
+        ends[p.token_index] = p.time_index
     score = float(tr[-1, -1])
-    return starts, score
+    return starts, ends, score

@@ -67,8 +67,8 @@ def word_timestamps(emission, n_frames: int, token_ids: Sequence[int],
     if not ids:
         return []
     em = np.asarray(emission)[: int(n_frames)]
-    starts, _ = forced_align(jnp.asarray(em), jnp.asarray(ids, jnp.int32),
-                             blank)
+    starts, ends, _ = forced_align(jnp.asarray(em),
+                                   jnp.asarray(ids, jnp.int32), blank)
     if np.any(starts < 0):   # infeasible (|y| > frames): no alignment
         return []
     # normalized per-piece log-prob at each emission frame (L rows only)
@@ -85,7 +85,9 @@ def word_timestamps(emission, n_frames: int, token_ids: Sequence[int],
         nonlocal cur, text
         if cur and text:
             t0 = float(starts[cur[0]]) * seconds_per_frame
-            t1 = (float(starts[cur[-1]]) + 1.0) * seconds_per_frame
+            # end-exclusive: last aligned frame of the final piece + 1
+            # (a piece held over several frames keeps its full span)
+            t1 = (float(ends[cur[-1]]) + 1.0) * seconds_per_frame
             words.append(WordSpan(text, round(t0, 3), round(t1, 3),
                                   float(np.exp(piece_logp[cur].mean()))))
         cur, text = [], ""

@@ -293,9 +293,16 @@ class ExportedRecognizer:
         if key not in self._fns:
             backend = jax.default_backend()
             allowed = {p.lower() for p in self.manifest["platforms"]}
-            # axon is the TPU relay backend; StableHLO says "tpu"
-            if backend.replace("axon", "tpu") not in allowed \
-                    and backend not in allowed:
+            # jax.default_backend() and jax.export use different names
+            # for the same hardware: axon is the TPU relay backend
+            # (StableHLO says "tpu"), and the CUDA/ROCm backends both
+            # report "gpu" while export platforms say "cuda"/"rocm" —
+            # alias before the membership test or a cuda-exported
+            # bundle is wrongly rejected on a GPU host
+            aliases = {backend, backend.replace("axon", "tpu")}
+            if backend == "gpu":
+                aliases |= {"cuda", "rocm"}
+            if not (aliases & allowed):
                 raise ValueError(
                     f"bundle was exported for {sorted(allowed)} but the "
                     f"current jax backend is '{backend}'; re-export with "

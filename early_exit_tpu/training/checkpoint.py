@@ -16,6 +16,7 @@ pytree and the step counter in one artifact.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from typing import Any, Optional
 
@@ -138,17 +139,20 @@ def avg_models(directory: str, start: int, end: int, params_template,
     return avg["params"], avg["model_state"]
 
 
+_CKPT_RE = re.compile(r"mod(\d+)-transformer$")
+
+
 def saved_epochs(directory: str) -> list:
-    """Sorted epoch numbers with a model checkpoint on disk."""
+    """Sorted epoch numbers with a model checkpoint on disk. Parsed by
+    regex, not a fixed 3-digit slice: `mod%03d` widens to 4 digits at
+    epoch 1000, and a slice parse would mis-sort (and mis-prune) it."""
     if not os.path.isdir(directory):
         return []
     out = []
     for name in os.listdir(directory):
-        if name.startswith("mod") and name.endswith("-transformer"):
-            try:
-                out.append(int(name[3:6]))
-            except ValueError:
-                continue
+        m = _CKPT_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
     return sorted(out)
 
 
@@ -177,12 +181,5 @@ def latest_epoch(directory: str) -> Optional[int]:
     vestigial resume at train.py:97-111)."""
     if not os.path.isdir(directory):
         return None
-    best = None
-    for name in os.listdir(directory):
-        if name.startswith("mod") and name.endswith("-transformer"):
-            try:
-                epoch = int(name[3:6])
-            except ValueError:
-                continue
-            best = epoch if best is None else max(best, epoch)
-    return best
+    epochs = saved_epochs(directory)
+    return epochs[-1] if epochs else None

@@ -28,5 +28,8 @@ def test_suite_greedy_and_prefix_agree_on_peaky():
 def test_suite_align():
     suite = DecoderSuite(CFG)
     lp = _peaky([0, 2, 0, 3, 0])[0]
-    starts, score = suite.align(lp, jnp.asarray([2, 3]))
+    starts, ends, score = suite.align(lp, jnp.asarray([2, 3]))
     np.testing.assert_array_equal(starts, [1, 3])
+    # token 2's span runs until token 3 advances; token 3 absorbs the
+    # trailing blank frame (torchaudio merge_repeats convention)
+    np.testing.assert_array_equal(ends, [2, 4])

@@ -38,8 +38,11 @@ def test_alignment_on_synthetic_emissions():
         em[f] = -10.0
         em[f, tok] = -0.01
     tokens = jnp.asarray([3, 4, 1])
-    starts, score = fa.forced_align(jnp.asarray(em), tokens)
+    starts, ends, score = fa.forced_align(jnp.asarray(em), tokens)
     np.testing.assert_array_equal(starts, [2, 6, 9])
+    # a token's span runs until the next token advances; the last token
+    # absorbs the trailing blank frames (torchaudio merge_repeats)
+    np.testing.assert_array_equal(ends, [5, 8, 11])
     assert score > -2.0                    # near-certain path
 
 

@@ -27,7 +27,10 @@ def test_single_word_span_and_score():
     w = spans[0]
     assert w.word == "abc"
     np.testing.assert_allclose(w.start, 0.2)
-    np.testing.assert_allclose(w.end, 0.6)   # (5 + 1) * 0.1
+    # the final piece's span runs through the trailing blank frames
+    # (torchaudio merge_repeats: a blank "stay" belongs to the most
+    # recently emitted token), so the word ends at the last valid frame
+    np.testing.assert_allclose(w.end, 1.0)   # (9 + 1) * 0.1
     assert 0.9 < w.score <= 1.0              # peaked emission
 
 
@@ -39,9 +42,11 @@ def test_multi_word_grouping_and_controls():
     spans = ts.word_timestamps(em, 12, ids, pieces, seconds_per_frame=0.5)
     assert [w.word for w in spans] == ["hello", "world"]
     np.testing.assert_allclose(spans[0].start, 1.0)   # frame 2
-    np.testing.assert_allclose(spans[0].end, 2.5)     # frame 4 + 1
+    # "llo" holds frames 4-5 (frame 6 advances to "▁wo"): end = 5 + 1
+    np.testing.assert_allclose(spans[0].end, 3.0)
     np.testing.assert_allclose(spans[1].start, 3.0)
-    np.testing.assert_allclose(spans[1].end, 4.5)
+    # "rld" holds frames 8-9 (frame 10 advances to "</s>"): end = 9 + 1
+    np.testing.assert_allclose(spans[1].end, 5.0)
 
 
 def test_char_tokenizer_space_separation():
