@@ -78,7 +78,14 @@ class LibriSpeechDataset:
         self._bases: List[str] = []
         for name in names:
             self._index_split(root, name)
-        self.base = self._bases[0] if len(self._bases) == 1 else self._bases
+        # `base` stays a str even with a multi-split list (external
+        # os.path.join(ds.base, ...) callers); the full list is `bases`
+        self.base = self._bases[0]
+
+    @property
+    def bases(self) -> List[str]:
+        """Base directory of every indexed split, in `url` order."""
+        return list(self._bases)
 
     def _index_split(self, root: str, url: str) -> None:
         base = os.path.join(root, "LibriSpeech", url)
@@ -149,6 +156,12 @@ class SyntheticDataset:
     - amp_jitter a: per-char tone amplitude scaled by U[1-a, 1+a]
     - noise: additive white noise σ (tone amplitude is 0.2, so 0.02 ≈
       +20 dB SNR, 0.2 ≈ 0 dB)
+    - noise_hi: when set (> noise), each utterance draws its own σ ~
+      U[noise, noise_hi] — a per-utterance SNR SPREAD. The spread is the
+      de-saturation knob for per-exit WER ladders: the hardest
+      utterances stay hard IN-distribution, so the clean eval split
+      separates exit depths instead of saturating at 0.00% everywhere
+      (VERDICT r3 "clean-split eval saturation").
     With warp/jitter/low SNR the easy corpus' saturated 0.00% WER
     ladder spreads into a depth-differentiating one (BENCH_NOTES.md
     hard-corpus run)."""
@@ -158,7 +171,8 @@ class SyntheticDataset:
     def __init__(self, n_items: int = 64, sample_rate: int = 16000,
                  seed: int = 0, min_words: int = 2, max_words: int = 12,
                  noise: float = 0.02, speaker_warp: float = 0.0,
-                 dur_jitter: float = 0.0, amp_jitter: float = 0.0):
+                 dur_jitter: float = 0.0, amp_jitter: float = 0.0,
+                 noise_hi: float | None = None):
         self.n_items = n_items
         self.sample_rate = sample_rate
         self.seed = seed
@@ -168,6 +182,7 @@ class SyntheticDataset:
         self.speaker_warp = speaker_warp
         self.dur_jitter = dur_jitter
         self.amp_jitter = amp_jitter
+        self.noise_hi = noise_hi
 
     def __len__(self) -> int:
         return self.n_items
@@ -201,6 +216,9 @@ class SyntheticDataset:
             t = np.arange(seg) / self.sample_rate
             segs.append(amp * np.sin(2 * np.pi * f * t))
         wav = np.concatenate(segs).astype(np.float32)
-        wav += self.noise * rng.randn(len(wav)).astype(np.float32)
+        sigma = (rng.uniform(self.noise, self.noise_hi)
+                 if self.noise_hi and self.noise_hi > self.noise
+                 else self.noise)
+        wav += sigma * rng.randn(len(wav)).astype(np.float32)
         return Utterance(wav.astype(np.float32), self.sample_rate, text,
                          "0", "0", f"synth-{i}")

@@ -38,7 +38,8 @@ sys.path.insert(0, REPO)
 def make_corpus(root: str, split: str, n_items: int, seed: int,
                 min_words: int, max_words: int, *, noise: float = 0.02,
                 speaker_warp: float = 0.0, dur_jitter: float = 0.0,
-                amp_jitter: float = 0.0, speaker: str = "1001") -> float:
+                amp_jitter: float = 0.0, noise_hi: float | None = None,
+                speaker: str = "1001") -> float:
     """Returns total audio seconds written. `speaker` must differ when
     writing one split in multiple calls (file stems are speaker-keyed)."""
     from early_exit_tpu.data.flac import write_flac_verbatim
@@ -47,7 +48,8 @@ def make_corpus(root: str, split: str, n_items: int, seed: int,
     ds = SyntheticDataset(n_items=n_items, seed=seed, min_words=min_words,
                           max_words=max_words, noise=noise,
                           speaker_warp=speaker_warp,
-                          dur_jitter=dur_jitter, amp_jitter=amp_jitter)
+                          dur_jitter=dur_jitter, amp_jitter=amp_jitter,
+                          noise_hi=noise_hi)
     per_chapter = 64
     total_s = 0.0
     for i in range(n_items):
@@ -96,6 +98,16 @@ def main():
                     help="corpus + init seed (repeat runs: vary this)")
     ap.add_argument("--noise", type=float, default=0.02,
                     help="additive noise sigma (0.2 tone amp; 0.2 = 0 dB)")
+    ap.add_argument("--noise_hi", type=float, default=None,
+                    help="per-utterance SNR spread: each utterance draws "
+                         "sigma ~ U[noise, noise_hi]. De-saturates the "
+                         "in-distribution WER ladder (VERDICT r3 item 3)")
+    ap.add_argument("--n_dev", type=int, default=240,
+                    help="dev-clean split size (gate calibration fits "
+                         "thresholds here, never on the eval splits)")
+    ap.add_argument("--target_wer_delta", type=float, default=0.5,
+                    help="calibrated-gate leg: accepted WER may exceed "
+                         "the final exit's by this many pp on dev")
     ap.add_argument("--speaker_warp", type=float, default=0.0,
                     help="per-utterance frequency warp range (hard mode)")
     ap.add_argument("--dur_jitter", type=float, default=0.0,
@@ -155,10 +167,11 @@ def main():
     os.makedirs(corpus, exist_ok=True)
 
     marker = os.path.join(corpus, ".done")
+    hard = dict(noise=args.noise, speaker_warp=args.speaker_warp,
+                dur_jitter=args.dur_jitter, amp_jitter=args.amp_jitter,
+                noise_hi=args.noise_hi)
     if not os.path.exists(marker):
         print("generating corpus ...", flush=True)
-        hard = dict(noise=args.noise, speaker_warp=args.speaker_warp,
-                    dur_jitter=args.dur_jitter, amp_jitter=args.amp_jitter)
         tr_s = make_corpus(corpus, "train-clean-100", args.n_train,
                            seed=1000 + 1, min_words=args.min_words,
                            max_words=args.max_words, **hard)
@@ -167,6 +180,17 @@ def main():
                            max_words=args.max_words, **hard)
         with open(marker, "w") as f:
             json.dump({"train_audio_s": tr_s, "test_audio_s": te_s}, f)
+    # dev-clean: same distribution as test-clean, DISJOINT seed — gate
+    # calibration fits temperatures/thresholds here (calibrate on dev,
+    # evaluate on test; tools/calibrate_gate.py docstring)
+    marker_dev = os.path.join(corpus, ".done_dev")
+    if not os.path.exists(marker_dev) and args.n_dev > 0:
+        print("generating dev-clean ...", flush=True)
+        dv_s = make_corpus(corpus, "dev-clean", args.n_dev, seed=4000 + 4,
+                           min_words=args.min_words,
+                           max_words=args.max_words, **hard)
+        with open(marker_dev, "w") as f:
+            json.dump({"dev_audio_s": dv_s}, f)
     # "test-other": the reference's harder eval split (inference.py:225)
     # mapped to the synthetic corpus's hard-mode knobs — unseen speakers
     # (frequency warp), timing/amplitude jitter, and 3x the noise.
@@ -175,8 +199,10 @@ def main():
         print("generating test-other ...", flush=True)
         to_s = make_corpus(corpus, "test-other", args.n_test,
                            seed=3000 + 3, min_words=args.min_words,
-                           max_words=args.max_words, noise=3 * args.noise,
-                           speaker_warp=max(args.speaker_warp, 0.1),
+                           max_words=args.max_words, noise=1.5 * args.noise,
+                           noise_hi=(1.5 * args.noise_hi if args.noise_hi
+                                     else 3 * args.noise),
+                           speaker_warp=max(args.speaker_warp * 1.25, 0.1),
                            dur_jitter=max(args.dur_jitter, 0.2),
                            amp_jitter=max(args.amp_jitter, 0.3))
         with open(marker_other, "w") as f:
@@ -210,6 +236,7 @@ def main():
                "train_audio_h": round(audio["train_audio_s"] / 3600, 2),
                "compute_dtype": args.compute_dtype,
                "corpus_knobs": {"noise": args.noise,
+                                "noise_hi": args.noise_hi,
                                 "speaker_warp": args.speaker_warp,
                                 "dur_jitter": args.dur_jitter,
                                 "amp_jitter": args.amp_jitter}}
@@ -328,6 +355,42 @@ def main():
                     key = "" if split == "test-clean" else "_other"
                     summary[f"gated{key}_wer_pct"] = float(m.group(1))
                     summary[f"gated{key}_mean_exits"] = float(m.group(2))
+
+            # CALIBRATED gate (VERDICT r3 item 1): fit per-exit
+            # temperatures + thresholds on dev-clean, then evaluate the
+            # gated path with them on test-clean/test-other. The raw
+            # 0.85-maxprob leg above is the uncalibrated baseline it is
+            # compared against.
+            calib_path = os.path.join(work, f"gate_calib_{tag}.json")
+            run([sys.executable,
+                 os.path.join(REPO, "tools", "calibrate_gate.py"),
+                 "--out", calib_path,
+                 "--target_wer_delta", str(args.target_wer_delta),
+                 "--decoder_mode", "ctc",
+                 "--load_model_path", ckpt,
+                 "--eval_splits", "dev-clean", *common], env, log)
+            with open(calib_path) as f:
+                calib = json.load(f)
+            summary["gate_calibration"] = {
+                "score": calib["score"],
+                "thresholds": calib["thresholds"],
+                "temperatures": calib["temperatures"],
+                "dev_final_exit_wer_pct": calib["final_exit_wer_pct"],
+                "dev_mean_exit": calib["per_score"][calib["score"]][
+                    "mean_exit"],
+                "target_wer_delta_pp": args.target_wer_delta}
+            out = run(infer_base + ["--decode", "greedy",
+                                    "--gate_calibration", calib_path],
+                      env, log)
+            for split in ("test-clean", "test-other"):
+                m = re.search(
+                    rf"{split} gated WER: ([0-9.]+)% "
+                    rf"\(mean exits run ([0-9.]+)", out)
+                if m:
+                    key = "" if split == "test-clean" else "_other"
+                    summary[f"gated_cal{key}_wer_pct"] = float(m.group(1))
+                    summary[f"gated_cal{key}_mean_exits"] = float(
+                        m.group(2))
 
     out_path = os.path.join(work, f"summary_{tag}.json")
     with open(out_path, "w") as f:
