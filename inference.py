@@ -46,7 +46,9 @@ enable_compilation_cache()
 
 
 def _load_lexicon(args):
+    here = os.path.dirname(os.path.abspath(__file__))
     for cand in ("librispeech.lex",
+                 os.path.join(here, "assets", "spm", "words.txt"),
                  "/root/reference/librispeech.lex"):
         if os.path.exists(cand):
             return LexiconCorrector(load_dict(cand))
