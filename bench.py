@@ -17,6 +17,7 @@ the north star "≥2× A100" is vs_baseline ≥ 2.0.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -33,11 +34,48 @@ def _timed(fn):
 from early_exit_tpu.runtime import enable_compilation_cache
 enable_compilation_cache()
 
+def _load_calib():
+    """assets/flagship_calib.json: the calibrated per-exit operating
+    point fitted by tools/calibrate_gate.py on the flagship checkpoint's
+    dev split, plus the eval-corpus knobs (`bench_eval`) matching the
+    distribution the checkpoint was trained on. None when absent."""
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpath = os.path.join(here, "assets", "flagship_calib.json")
+    if not os.path.exists(cpath):
+        return None
+    with open(cpath) as f:
+        return json.load(f)
+
+
+def _synth_batch(knobs, B, seed=7777):
+    """B in-distribution SyntheticDataset utterances (the flagship
+    checkpoint's training distribution per the calib asset's bench_eval
+    knobs; easy-corpus defaults otherwise) padded into one array."""
+    from early_exit_tpu.data.librispeech import SyntheticDataset
+    ds = SyntheticDataset(n_items=B, seed=seed,
+                          min_words=knobs.get("min_words", 18),
+                          max_words=knobs.get("max_words", 22),
+                          noise=knobs.get("noise", 0.02),
+                          noise_hi=knobs.get("noise_hi"),
+                          speaker_warp=knobs.get("speaker_warp", 0.0),
+                          dur_jitter=knobs.get("dur_jitter", 0.0),
+                          amp_jitter=knobs.get("amp_jitter", 0.0))
+    utts = [ds[i] for i in range(B)]
+    max_n = max(len(u.waveform) for u in utts)
+    wav = np.zeros((B, max_n), np.float32)
+    counts = np.zeros((B,), np.int32)
+    for i, u in enumerate(utts):
+        wav[i, :len(u.waveform)] = u.waveform
+        counts[i] = len(u.waveform)
+    return wav, counts, utts
+
 
 def main():
     from early_exit_tpu.configs import AudioConfig, ModelConfig
     from early_exit_tpu.models import early_conformer
     from early_exit_tpu.ops import ctc, frontend
+    from early_exit_tpu.ops.pallas import head_argmax as ha
 
     acfg = AudioConfig()
     # reference dims, full bf16 inference, fused whole-block Pallas kernel
@@ -56,19 +94,106 @@ def main():
         # its slow remote compile is amortised by the persistent cache
         feats = frontend.mel_spectrogram(wav, acfg, method="dft")
         lengths = frontend.mel_lengths(sample_counts, acfg.hop_length)
-        # raw logits: greedy argmax is softmax-invariant, and skipping
-        # the fp32 (E,B,T',V) log_softmax materialization saves ~1.6 ms
-        # at B=128 (same tokens out — see apply_heads)
-        log_probs, sub_len, _ = early_conformer.apply(
-            params, state, feats, lengths, cfg, train=False,
-            log_probs=False)
-        # greedy decode the last exit (deepest head)
-        tokens, n_tokens = ctc.greedy_decode(log_probs[-1], sub_len)
+        # fused greedy path: trunk -> per-exit hidden states, then the
+        # head+argmax Pallas kernel — the (E,B,T',V) logits tensor is
+        # never materialized in HBM (~100 MB bf16 saved per batch); the
+        # kernel's ids decode EVERY exit, the reference's inference
+        # semantics (inference.py:66-72)
+        hidden, sub_len = early_conformer.apply_hidden(
+            params, state, feats, lengths, cfg)
+        ids = ha.head_argmax(hidden, params["heads"]["w"],
+                             params["heads"]["b"])
+        tokens, n_tokens = jax.vmap(
+            lambda b: ctc.greedy_decode_ids(b, sub_len))(ids)
         # scalar fingerprint depending on every output: forces execution
         # even on backends where block_until_ready doesn't block (axon
         # relay), without timing a bulk host transfer.
-        return (jnp.sum(n_tokens) + jnp.sum(tokens)
-                + jnp.sum(log_probs[:, :, 0, 0]))
+        return jnp.sum(n_tokens) + jnp.sum(tokens)
+
+    @jax.jit
+    def infer_xla(params, state, wav, sample_counts):
+        # oracle: unfused trunk + logits materialization + XLA argmax
+        cfg_x = ModelConfig(attn_softmax_dtype="bfloat16",
+                            fused_block=False)
+        feats = frontend.mel_spectrogram(wav, acfg, method="dft")
+        lengths = frontend.mel_lengths(sample_counts, acfg.hop_length)
+        log_probs, sub_len, _ = early_conformer.apply(
+            params, state, feats, lengths, cfg_x, train=False,
+            log_probs=False)
+        ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        tokens, n_tokens = jax.vmap(
+            lambda b: ctc.greedy_decode_ids(b, sub_len))(ids)
+        return tokens, n_tokens, log_probs
+
+    @jax.jit
+    def infer_tokens(params, state, wav, sample_counts):
+        feats = frontend.mel_spectrogram(wav, acfg, method="dft")
+        lengths = frontend.mel_lengths(sample_counts, acfg.hop_length)
+        hidden, sub_len = early_conformer.apply_hidden(
+            params, state, feats, lengths, cfg)
+        ids = ha.head_argmax(hidden, params["heads"]["w"],
+                             params["heads"]["b"])
+        # XLA argmax over the SAME hidden: isolates the head kernel
+        logits = early_conformer.apply_heads(params["heads"], hidden, cfg,
+                                             log_probs=False)
+        ids_x = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tokens, n_tokens = jax.vmap(
+            lambda b: ctc.greedy_decode_ids(b, sub_len))(ids)
+        return tokens, n_tokens, ids, ids_x, logits
+
+    # on-device parity gates (before any timing) — VERDICT r3 item 5:
+    # (a) the head+argmax Pallas kernel must match XLA argmax over the
+    #     same hidden states (it is numerics-matched by design); any
+    #     mismatched frame must be an EXACT bf16 top-1 tie — random-ish
+    #     weights on bf16's coarse grid produce genuine ties, and a
+    #     ±1-ulp accumulation-order difference legitimately flips which
+    #     tied id wins. Non-tie mismatches are real bugs and abort.
+    ft, fn, ids_k, ids_x, flog = infer_tokens(params, state, wav,
+                                              sample_counts)
+    ids_k_np, ids_x_np = np.asarray(ids_k), np.asarray(ids_x)
+    flog_np = np.asarray(flog.astype(jnp.float32))
+    bad = np.argwhere(ids_k_np != ids_x_np)
+    for e, bi, t in bad:
+        lx = flog_np[e, bi, t, ids_x_np[e, bi, t]]
+        lk = flog_np[e, bi, t, ids_k_np[e, bi, t]]
+        assert lx == lk, (
+            f"head_argmax kernel id differs from XLA argmax on-device at "
+            f"a NON-tie (e={e} b={bi} t={t}: {lx} vs {lk})")
+    # (b) the fused trunk must greedy-decode the SAME tokens as the
+    #     pure-XLA trunk on the TRAINED checkpoint, evaluated on
+    #     IN-DISTRIBUTION audio (peaked emissions). On the random-noise
+    #     timing batch the checkpoint's emissions are flat and benign
+    #     bf16 op-order differences between the two trunks flip argmax
+    #     — that is expected and not a correctness signal, so the
+    #     parity batch is drawn from the training distribution (the
+    #     calib asset's bench_eval knobs / easy-corpus defaults).
+    #     max|dlogit| over that batch is reported either way.
+    _ck = os.path.join(os.path.dirname(os.path.abspath(__file__)), CKPT)
+    if os.path.exists(_ck):
+        from early_exit_tpu.training import checkpoint as _ckm
+        tp, ts = early_conformer.init(jax.random.PRNGKey(0), cfg)
+        tp, ts = _ckm.load_model_file(_ck, tp, ts)
+        knobs = (_load_calib() or {}).get("bench_eval", {})
+        pw, pc, _ = _synth_batch(knobs, B, seed=4242)
+        if pw.shape[1] < N:           # reuse the timing batch's jit shape
+            pw = np.pad(pw, ((0, 0), (0, N - pw.shape[1])))
+        pwav = jnp.asarray(pw[:, :N])
+        pn = jnp.asarray(np.minimum(pc, N))
+        tft, tfn, _, _, tflog = infer_tokens(tp, ts, pwav, pn)
+        txt, txn, txlog = infer_xla(tp, ts, pwav, pn)
+        fused_parity = bool(
+            np.array_equal(np.asarray(tft), np.asarray(txt))
+            and np.array_equal(np.asarray(tfn), np.asarray(txn)))
+        max_dlogit = float(jnp.max(jnp.abs(
+            tflog.astype(jnp.float32) - txlog.astype(jnp.float32))))
+        assert fused_parity, (
+            f"fused path decoded different tokens than XLA on the "
+            f"trained checkpoint (max|dlogit|={max_dlogit:.4f})")
+    else:
+        fused_parity = None           # no trained ckpt to compare on
+        xt, xn, xlog = infer_xla(params, state, wav, sample_counts)
+        max_dlogit = float(jnp.max(jnp.abs(
+            flog.astype(jnp.float32) - xlog.astype(jnp.float32))))
 
     # warmup / compile
     float(infer(params, state, wav, sample_counts))
@@ -93,14 +218,16 @@ def main():
     result = {
         "metric": "early_conformer_infer_rtf_x",
         "value": round(rtf_x, 2),
-        "unit": ("audio_sec/wall_sec (b128, 10s utts, all 6 exits + greedy); "
-                 "vs_baseline = x the A100-40%MFU estimate (75000x RT); "
-                 "gated_* = confidence-gated dynamic exit on the committed "
-                 "trained checkpoint at WER parity (see gated_wer fields)"),
+        "unit": ("audio_sec/wall_sec (b128, 10s utts, greedy decode of "
+                 "ALL 6 exits); vs_baseline = x the A100-40%MFU estimate "
+                 "(75000x RT); gated_* = confidence-gated dynamic exit on "
+                 "the committed trained checkpoint (see gated_wer fields)"),
         "vs_baseline": round(rtf_x / A100_ANCHOR_RTF, 3),
+        "fused_parity": fused_parity,
+        "fused_max_dlogit": round(max_dlogit, 5),
     }
     try:
-        result.update(gated_bench(rt))
+        result.update(gated_bench(rt, fused=True))
     except Exception as e:          # the dense headline must still print
         result["gated_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
@@ -126,7 +253,6 @@ def gated_bench(rt, fused=False):
     from early_exit_tpu.models import early_conformer, early_exit_gate
     from early_exit_tpu.ops import ctc, frontend
     from early_exit_tpu.training import checkpoint
-    from early_exit_tpu.data.librispeech import SyntheticDataset
     from early_exit_tpu.tokenizer.bpe import load_tokenizer
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -153,6 +279,22 @@ def gated_bench(rt, fused=False):
     if tok is None:
         raise FileNotFoundError("libri.bpe-256.model")
 
+    # calibrated operating point (tools/calibrate_gate.py, fitted on the
+    # flagship checkpoint's dev split): per-exit temperatures +
+    # thresholds + the recommended confidence score, plus the eval-corpus
+    # knobs the checkpoint was trained on — so the gated leg is measured
+    # where exits genuinely differ, not at a saturated 0.00%-everywhere
+    # point (VERDICT r3 item 1). Falls back to the raw 0.85 maxprob gate
+    # when the asset is absent.
+    calib = _load_calib()
+    if calib is not None:
+        THRESHOLD = calib["thresholds"]
+        TEMPS = calib["temperatures"]
+        SCORE = calib["score"]
+    else:
+        THRESHOLD, TEMPS, SCORE = 0.85, None, "maxprob"
+    knobs = (calib or {}).get("bench_eval", {})
+
     # held-out audio from the trained distribution, ~10 s utterances.
     # The gate is batch-conservative (a batch runs until ALL its rows
     # are confident), so smaller batches are exacter per utterance but
@@ -160,17 +302,8 @@ def gated_bench(rt, fused=False):
     # RT on v5e with identical 0.00% WER and mean exit 1.00 — the
     # throughput-optimal 128 is the bench geometry
     B, NB = 128, 1                    # 1 micro-batch of 128
-    ds = SyntheticDataset(n_items=B * NB, seed=7777, min_words=18,
-                          max_words=22)
-    utts = [ds[i] for i in range(B * NB)]
-    max_n = max(len(u.waveform) for u in utts)
-    wav = np.zeros((B * NB, max_n), np.float32)
-    counts = np.zeros((B * NB,), np.int32)
-    for i, u in enumerate(utts):
-        wav[i, :len(u.waveform)] = u.waveform
-        counts[i] = len(u.waveform)
+    wav, counts, utts = _synth_batch(knobs, B * NB)
     audio_s = float(counts.sum()) / acfg.sample_rate
-    THRESHOLD = 0.85
 
     @jax.jit
     def dense(params, state, wav, n):
@@ -186,7 +319,8 @@ def gated_bench(rt, fused=False):
         feats = frontend.mel_spectrogram(wav, acfg, method="dft")
         lengths = frontend.mel_lengths(n, acfg.hop_length)
         logp, chosen, sub_len, _ = early_exit_gate.gated_apply(
-            params, state, feats, lengths, cfg, threshold=THRESHOLD)
+            params, state, feats, lengths, cfg, threshold=THRESHOLD,
+            score=SCORE, temperatures=TEMPS)
         toks, ntoks = ctc.greedy_decode(logp, sub_len)
         return toks, ntoks, chosen, jnp.sum(logp[:, 0, 0])
 
@@ -237,6 +371,9 @@ def gated_bench(rt, fused=False):
 
     dt_dense = timed(dense, 2)
     dt_gated = timed(gated, 3)
+    # gated_speedup_vs_dense: BOTH legs run fused=True by default, so
+    # the ratio is against the best dense path (VERDICT r3 weak 6: the
+    # old fused=False dense leg overstated it)
     return {
         "gated_rtf_x": round(audio_s / dt_gated, 2),
         "gated_vs_baseline": round(audio_s / dt_gated / 75000.0, 3),
@@ -246,6 +383,9 @@ def gated_bench(rt, fused=False):
         "gated_wer_dense_pct": round(wer_dense, 2),
         "gated_mean_exits": round(float(np.mean(exits)), 2),
         "gated_threshold": THRESHOLD,
+        "gated_score": SCORE,
+        "gated_calibrated": calib is not None,
+        "gated_fused": fused,
         "gated_eval_utts": B * NB,
     }
 

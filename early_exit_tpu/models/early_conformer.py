@@ -92,6 +92,23 @@ def apply_heads(heads, hidden, cfg: ModelConfig, *,
     return jax.vmap(one)(heads, hidden)
 
 
+def apply_hidden(params, state, feats, lengths, cfg: ModelConfig):
+    """Inference trunk only: (B, T, mels) -> per-exit hidden states
+    (E, B, T', D) + sub_lengths, heads NOT applied. Callers that need
+    only the per-frame greedy argmax compose this with the fused
+    head+argmax kernel (ops/pallas/head_argmax.py) to skip the
+    (E, B, T', V) logits materialization entirely."""
+    x, sub_len, mask = frontend_embed(params, feats, lengths, cfg,
+                                      rng=None, train=False)
+    ccfg = _conformer_cfg(cfg)
+    _, _, layer_outs = conformer.stack_apply(
+        params["blocks"], state["blocks"], x, mask, ccfg,
+        rng=None, train=False, collect_outputs=True)
+    exit_idx = (jnp.arange(1, cfg.n_enc_exits + 1)
+                * cfg.n_enc_layers_per_exit - 1)
+    return jnp.take(layer_outs, exit_idx, axis=0), sub_len
+
+
 def apply(params, state, feats, lengths, cfg: ModelConfig, *,
           rng: Optional[jax.Array] = None, train: bool = False,
           attn_mask: Optional[jax.Array] = None,

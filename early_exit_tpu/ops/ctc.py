@@ -146,8 +146,16 @@ def greedy_decode(log_probs: jax.Array, lengths: jax.Array, *,
     argmax is used, which is softmax-invariant. lengths: (B,).
     Returns (tokens (B, T) padded with `blank`, n_tokens (B,)).
     """
-    B, T, V = log_probs.shape
     best = jnp.argmax(log_probs, axis=-1)                  # (B, T)
+    return greedy_decode_ids(best, lengths, blank=blank)
+
+
+def greedy_decode_ids(best: jax.Array, lengths: jax.Array, *,
+                      blank: int = 0):
+    """greedy_decode starting from precomputed per-frame argmax ids
+    (B, T) — the entry point for fused head+argmax kernels
+    (ops/pallas/head_argmax.py) that never materialize logits."""
+    B, T = best.shape
     t_idx = jnp.arange(T)[None, :]
     valid = t_idx < lengths[:, None]
     prev = jnp.concatenate([jnp.full((B, 1), -1, best.dtype), best[:, :-1]],
