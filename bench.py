@@ -94,15 +94,17 @@ def main():
         # its slow remote compile is amortised by the persistent cache
         feats = frontend.mel_spectrogram(wav, acfg, method="dft")
         lengths = frontend.mel_lengths(sample_counts, acfg.hop_length)
-        # fused greedy path: trunk -> per-exit hidden states, then the
-        # head+argmax Pallas kernel — the (E,B,T',V) logits tensor is
-        # never materialized in HBM (~100 MB bf16 saved per batch); the
-        # kernel's ids decode EVERY exit, the reference's inference
+        # greedy path: fused trunk -> per-exit hiddens (collect_every
+        # emits exactly the E exit layers), XLA bf16 heads + argmax
+        # (measured FASTER than the head_argmax Pallas kernel at this
+        # geometry — tools/ablate_head_path.py, BENCH_NOTES.md r4), then
+        # greedy decode of EVERY exit — the reference's inference
         # semantics (inference.py:66-72)
         hidden, sub_len = early_conformer.apply_hidden(
             params, state, feats, lengths, cfg)
-        ids = ha.head_argmax(hidden, params["heads"]["w"],
-                             params["heads"]["b"])
+        logits = early_conformer.apply_heads(params["heads"], hidden, cfg,
+                                             log_probs=False)
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tokens, n_tokens = jax.vmap(
             lambda b: ctc.greedy_decode_ids(b, sub_len))(ids)
         # scalar fingerprint depending on every output: forces execution

@@ -218,13 +218,18 @@ def block_apply(params, state, x, mask, cfg: ConformerConfig, *,
 
 def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
                 rng: Optional[jax.Array] = None, train: bool = False,
-                collect_outputs: bool = False,
+                collect_outputs: bool = False, collect_every: int = 1,
                 attn_mask: Optional[jax.Array] = None):
     """Run a stack of blocks whose params are leading-axis stacked, via
     `lax.scan` (compiles the block body once regardless of depth).
 
     attn_mask: optional (T, T) bool pair mask applied in every block's
     self-attention (dynamic-chunk training; forces the XLA path).
+
+    collect_every=k (with collect_outputs) stacks only every k-th
+    layer's output — what the early-exit trunk needs; stacking all L
+    layers and `take`-ing the E exit layers back out costs an extra
+    (L, B, T, D) HBM write plus (L+E, B, T, D) of read/write traffic.
 
     Returns (y, new_state[, per_layer_outputs])."""
     # the fused kernel keeps per-item (Tp, Tp) scores + the whole block
@@ -237,7 +242,8 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
         else:
             lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
         return fcb.fused_stack_apply(params, state, x, lengths, cfg,
-                                     collect_outputs=collect_outputs)
+                                     collect_outputs=collect_outputs,
+                                     collect_every=collect_every)
 
     n_layers = jax.tree_util.tree_leaves(params)[0].shape[0]
     if rng is None:
@@ -262,6 +268,8 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
         y, (new_state, outs) = lax.scan(body, x,
                                         (params, state, layer_rngs))
         if collect_outputs:
+            if collect_every > 1:   # exit layers only, as the fused path
+                outs = outs[collect_every - 1::collect_every]
             return y, new_state, outs
         return y, new_state
 
@@ -275,5 +283,7 @@ def stack_apply(params, state, x, mask, cfg: ConformerConfig, *,
 
     y, (new_state, outs) = lax.scan(body, x, (params, state, layer_rngs))
     if collect_outputs:
+        if collect_every > 1:
+            outs = outs[collect_every - 1::collect_every]
         return y, new_state, outs
     return y, new_state

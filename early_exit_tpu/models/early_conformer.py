@@ -101,12 +101,14 @@ def apply_hidden(params, state, feats, lengths, cfg: ModelConfig):
     x, sub_len, mask = frontend_embed(params, feats, lengths, cfg,
                                       rng=None, train=False)
     ccfg = _conformer_cfg(cfg)
-    _, _, layer_outs = conformer.stack_apply(
+    # collect_every: the scan emits exactly the E exit-layer hiddens —
+    # stacking all L layers and take()-ing E back costs an extra
+    # (L, B, T, D) write plus (L+E, B, T, D) read/write of HBM traffic
+    _, _, exit_outs = conformer.stack_apply(
         params["blocks"], state["blocks"], x, mask, ccfg,
-        rng=None, train=False, collect_outputs=True)
-    exit_idx = (jnp.arange(1, cfg.n_enc_exits + 1)
-                * cfg.n_enc_layers_per_exit - 1)
-    return jnp.take(layer_outs, exit_idx, axis=0), sub_len
+        rng=None, train=False, collect_outputs=True,
+        collect_every=cfg.n_enc_layers_per_exit)
+    return exit_outs, sub_len
 
 
 def apply(params, state, feats, lengths, cfg: ModelConfig, *,
@@ -132,14 +134,15 @@ def apply(params, state, feats, lengths, cfg: ModelConfig, *,
                                       rng=r_pe, train=train)
 
     ccfg = _conformer_cfg(cfg)
-    _, new_block_state, layer_outs = conformer.stack_apply(
+    # exit i reads the output of layer (i+1)*n_layers_per_exit - 1;
+    # collect_every makes the scan emit exactly those E hiddens instead
+    # of stacking all L layers and take()-ing E back out (saves an
+    # (L, B, T, D) write + (L+E, B, T, D) read/write of HBM traffic)
+    _, new_block_state, exit_hidden = conformer.stack_apply(
         params["blocks"], state["blocks"], x, mask, ccfg,
         rng=r_blocks, train=train, collect_outputs=True,
-        attn_mask=attn_mask)
-
-    # exit i reads the output of layer (i+1)*n_layers_per_exit - 1
-    exit_idx = jnp.arange(1, cfg.n_enc_exits + 1) * cfg.n_enc_layers_per_exit - 1
-    exit_hidden = jnp.take(layer_outs, exit_idx, axis=0)   # (E, B, T', D)
+        collect_every=cfg.n_enc_layers_per_exit,
+        attn_mask=attn_mask)                               # (E, B, T', D)
 
     out = apply_heads(params["heads"], exit_hidden, cfg,
                       log_probs=log_probs)

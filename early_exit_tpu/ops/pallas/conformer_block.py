@@ -423,26 +423,49 @@ def fused_block_apply(folded, x, lengths, *, n_heads: int,
 
 def fused_stack_apply(stacked_params, stacked_state, x, lengths, cfg, *,
                       collect_outputs: bool = False,
+                      collect_every: int = 1,
                       interpret: bool | None = None):
     """Run a lax.scan-stacked Conformer stack through the fused kernel.
 
     Mirrors conformer.stack_apply(train=False): returns
-    (y, state[, per_layer_outputs])."""
+    (y, state[, per_layer_outputs]).
+
+    collect_every=k (with collect_outputs) stacks only every k-th
+    layer's output — the early-exit trunk needs just the E exit-layer
+    hiddens, and stacking all L then `take`-ing E back out costs an
+    extra (L, B, T, D) write plus a (L+E, B, T, D) read/write of HBM
+    traffic. Requires L % k == 0; the scan steps over L/k groups of k
+    fused blocks and emits one output per group."""
     if interpret is None:   # Mosaic needs real TPU; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
     qz = cfg.quantize if cfg.quantize != "none" else None
     folded = fold_block_params(stacked_params, stacked_state,
                                compute_dtype=cfg.dtype, quantize=qz)
 
-    def body(h, layer):
+    def one_block(h, layer):
         h = fused_block_apply(
             layer, h, lengths, n_heads=cfg.n_heads,
             kernel_size=cfg.kernel_size, compute_dtype=cfg.dtype,
             residual_dtype=cfg.rdtype, attn_softmax_dtype=cfg.sm_dtype,
             interpret=interpret, quantize=qz)
-        return h, (h if collect_outputs else None)
+        return h, None
 
-    y, outs = jax.lax.scan(body, x, folded)
+    k = collect_every if collect_outputs else 1
+    if k == 1:
+        def body(h, layer):
+            h, _ = one_block(h, layer)
+            return h, (h if collect_outputs else None)
+        y, outs = jax.lax.scan(body, x, folded)
+    else:
+        L = jax.tree_util.tree_leaves(folded)[0].shape[0]
+        assert L % k == 0, (L, k)
+        grouped = jax.tree_util.tree_map(
+            lambda p: p.reshape((L // k, k) + p.shape[1:]), folded)
+
+        def body(h, group):
+            h, _ = jax.lax.scan(one_block, h, group)
+            return h, h
+        y, outs = jax.lax.scan(body, x, grouped)
     if collect_outputs:
         return y, stacked_state, outs
     return y, stacked_state
