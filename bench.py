@@ -270,16 +270,14 @@ def gated_bench(rt, fused=False):
         lambda x: jnp.asarray(x, jnp.float32)
         if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
         params)
-    tok = None                        # same artifact fallback as cli.py
-    for cand in (os.path.join(here, "sentencepiece/build/"
-                              "libri.bpe-256.model"),
-                 "/root/reference/sentencepiece/build/"
-                 "libri.bpe-256.model"):
-        if os.path.exists(cand):
-            tok = load_tokenizer(cand, prefer_native=False)
-            break
-    if tok is None:
-        raise FileNotFoundError("libri.bpe-256.model")
+    # the same artifact resolution as the CLIs (our committed asset
+    # first, reference checkout last-resort) — the tokenizer MUST be the
+    # one the flagship checkpoint was trained with
+    from early_exit_tpu.cli import resolve_bpe_model
+    tok = load_tokenizer(
+        resolve_bpe_model(os.path.join(here, "sentencepiece/build/"
+                                       "libri.bpe-256.model")),
+        prefer_native=False)
 
     # calibrated operating point (tools/calibrate_gate.py, fitted on the
     # flagship checkpoint's dev split): per-exit temperatures +

@@ -223,9 +223,12 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
             exits_run.extend(rec.exits_run)
     gate = ""
     if exits_run:
-        gate = (f" (gated: mean exit {np.mean(exits_run):.2f}/{n_exit}, "
-                f"{100 * np.mean(np.asarray(exits_run) == 1):.0f}% of "
-                f"chunks at exit 1)")
+        er = np.asarray(exits_run)
+        hist = {e: int(np.sum(er == e)) for e in range(1, n_exit + 1)}
+        gate = (f" (gated: mean exit {np.mean(er):.2f}/{n_exit}, "
+                f"{100 * np.mean(er == 1):.0f}% of chunks at exit 1)")
+        print(f"{split} streaming exit histogram (chunks per exit): "
+              f"{hist}")
     for e, acc in enumerate(accs):
         label = e + 1 if not gated else n_exit
         print(f"{split} streaming WER exit {label}: "
