@@ -167,3 +167,35 @@ def test_int8_fused_stack_apply():
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_collect_every_matches_full_collection():
+    """collect_every=k emits exactly the outputs of layers k-1, 2k-1, …
+    — identical values to slicing the full per-layer collection — in
+    both the fused (grouped scan) and XLA (post-scan slice) paths."""
+    cfg, _, _ = _setup()
+    params, state = conformer.stack_init(jax.random.PRNGKey(2), cfg, 4)
+    x, lengths, mask = _data(seed=3)
+
+    ref, _, all_outs = conformer.stack_apply(params, state, x, mask, cfg,
+                                             train=False,
+                                             collect_outputs=True)
+    want = np.asarray(all_outs)[1::2]          # layers 1, 3 (0-based)
+
+    got_x, _, outs_x = conformer.stack_apply(params, state, x, mask, cfg,
+                                             train=False,
+                                             collect_outputs=True,
+                                             collect_every=2)
+    np.testing.assert_array_equal(np.asarray(outs_x), want)
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(ref))
+
+    got_f, _, outs_f = fcb.fused_stack_apply(params, state, x, lengths,
+                                             cfg, collect_outputs=True,
+                                             collect_every=2,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(outs_f), want,
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+    # the last collected output IS the final hidden state
+    np.testing.assert_array_equal(np.asarray(outs_x[-1]), np.asarray(got_x))
