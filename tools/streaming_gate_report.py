@@ -42,7 +42,7 @@ def run_leg(args, extra):
            "--eval_splits", args.splits,
            "--batch_size", str(args.batch_size),
            "--n_workers", "2",
-           "--compute_dtype", "bfloat16"] + extra
+           "--compute_dtype", "bfloat16"] + args.passthrough + extra
     print("+", " ".join(cmd), flush=True)
     p = subprocess.run(cmd, capture_output=True, text=True)
     if p.returncode != 0:
@@ -85,7 +85,10 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(
         REPO, "reports", "streaming_gated.json"))
-    args = ap.parse_args(argv)
+    # anything after the known flags is handed to inference.py verbatim
+    # (non-default dims, --streaming_chunk_s, ... — the tool otherwise
+    # assumes the reference architecture)
+    args, args.passthrough = ap.parse_known_args(argv)
 
     report = {"ckpt": args.ckpt, "data_root": args.data_root,
               "gate_score": args.gate_score}
