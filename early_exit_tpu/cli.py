@@ -282,6 +282,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OWN_BPE_MODEL = os.path.join(_REPO, "assets", "spm", "synth.bpe-256.model")
 
 
+FLAGSHIP_CKPT = os.path.join(_REPO, "assets", "flagship_ckpt")
+FLAGSHIP_CALIB = os.path.join(_REPO, "assets", "flagship_calib.json")
+
+
 def resolve_bpe_model(path: str) -> str:
     """First existing of: the requested path, our committed asset, the
     reference checkout's artifact."""
@@ -295,12 +299,65 @@ def resolve_bpe_model(path: str) -> str:
         f"regenerate {OWN_BPE_MODEL} with tools/make_assets.py)")
 
 
+def flagship_bound_tokenizer(load_model_path) -> str | None:
+    """The committed flagship checkpoint is NOT subject to the
+    preference-order tokenizer resolution: `assets/flagship_calib.json`
+    (written by tools/promote_flagship.py) records the exact BPE model
+    file — path + sha256 — the checkpoint was trained with, and decoding
+    it with anything else yields garbage (the round-4 102%-WER
+    regression). Returns the bound model path when `load_model_path` is
+    the committed flagship and a binding exists; raises if the bound
+    file is missing or its content hash no longer matches.
+
+    Reference parallel: util/conf.py:473-474 hardcodes one artifact, so
+    the binding is implicit there; here it is recorded and verified."""
+    if not load_model_path:
+        return None
+    try:
+        if not os.path.samefile(load_model_path, FLAGSHIP_CKPT):
+            return None
+    except OSError:
+        return None
+    if not os.path.exists(FLAGSHIP_CALIB):
+        return None
+    import json
+    with open(FLAGSHIP_CALIB) as f:
+        calib = json.load(f)
+    rel = calib.get("tokenizer")
+    if not rel:
+        return None
+    path = rel if os.path.isabs(rel) else os.path.join(_REPO, rel)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"flagship tokenizer binding broken: {rel} (named by "
+            f"{FLAGSHIP_CALIB}) does not exist — restore it; a "
+            f"substitute tokenizer would decode the flagship to garbage")
+    want = calib.get("tokenizer_sha256")
+    if want:
+        import hashlib
+        with open(path, "rb") as f:
+            got = hashlib.sha256(f.read()).hexdigest()
+        if got != want:
+            raise RuntimeError(
+                f"flagship tokenizer binding broken: {path} sha256 "
+                f"{got[:12]}… != promoted {want[:12]}… (re-run "
+                f"tools/promote_flagship.py)")
+    return path
+
+
 def load_tokenizer_from_args(args):
     if args.bpe:
         from early_exit_tpu.tokenizer import load_tokenizer
+        # the committed flagship carries an explicit tokenizer binding
+        # that overrides the resolution order (unless the user names a
+        # model file that exists — an explicit choice wins)
+        bound = (None if os.path.exists(args.bpe_model_path)
+                 else flagship_bound_tokenizer(
+                     getattr(args, "load_model_path", None)))
         # remember the resolved path: the lexicon/tokens for the beam
         # decoders live next to whichever model file was actually used
-        args.bpe_model_path = resolve_bpe_model(args.bpe_model_path)
+        args.bpe_model_path = bound or resolve_bpe_model(
+            args.bpe_model_path)
         return load_tokenizer(args.bpe_model_path)
     from early_exit_tpu.tokenizer import CharTokenizer
     return CharTokenizer()

@@ -81,3 +81,72 @@ def test_calib_json_matches_bench_contract(promoted):
     assert prov["dev_mean_exit"] == 2.4
     assert prov["dev_gated_wer_pct"] == 7.9
     assert prov["target_wer_delta_pp"] == 0.5
+
+
+def test_calib_records_tokenizer_binding(promoted):
+    """The checkpoint<->tokenizer binding (VERDICT r4 items 2/6): the
+    promotion names the exact BPE model file + its content hash, so
+    bench.py and the CLIs decode the flagship with THAT file and fail
+    loudly on a swap instead of publishing 102%-WER garbage."""
+    import hashlib
+
+    from early_exit_tpu import cli
+
+    out_dir, _, _, _ = promoted
+    with open(os.path.join(out_dir, "flagship_calib.json")) as f:
+        out = json.load(f)
+    # default --tokenizer resolution = the committed asset
+    assert out["tokenizer"] == os.path.join("assets", "spm",
+                                            "synth.bpe-256.model")
+    with open(cli.OWN_BPE_MODEL, "rb") as f:
+        assert out["tokenizer_sha256"] == hashlib.sha256(
+            f.read()).hexdigest()
+
+
+class TestFlagshipBoundTokenizer:
+    """cli.flagship_bound_tokenizer: the CLIs' side of the binding."""
+
+    def _setup(self, tmp_path, monkeypatch, *, sha_ok=True,
+               tok_exists=True):
+        import hashlib
+
+        from early_exit_tpu import cli
+
+        ckpt = tmp_path / "flagship_ckpt"
+        ckpt.write_bytes(b"ckpt-bytes")
+        tok = tmp_path / "bound.model"
+        tok.write_bytes(b"tok-bytes")
+        sha = hashlib.sha256(b"tok-bytes").hexdigest()
+        calib = tmp_path / "flagship_calib.json"
+        calib.write_text(json.dumps({
+            "tokenizer": str(tok),
+            "tokenizer_sha256": sha if sha_ok else "0" * 64}))
+        if not tok_exists:
+            tok.unlink()
+        monkeypatch.setattr(cli, "FLAGSHIP_CKPT", str(ckpt))
+        monkeypatch.setattr(cli, "FLAGSHIP_CALIB", str(calib))
+        return cli, str(ckpt), str(tok)
+
+    def test_returns_bound_model_for_flagship(self, tmp_path,
+                                              monkeypatch):
+        cli, ckpt, tok = self._setup(tmp_path, monkeypatch)
+        assert cli.flagship_bound_tokenizer(ckpt) == tok
+
+    def test_other_checkpoints_unaffected(self, tmp_path, monkeypatch):
+        cli, _, _ = self._setup(tmp_path, monkeypatch)
+        other = tmp_path / "mod001-transformer"
+        other.write_bytes(b"x")
+        assert cli.flagship_bound_tokenizer(str(other)) is None
+        assert cli.flagship_bound_tokenizer(None) is None
+
+    def test_hash_mismatch_fails_loudly(self, tmp_path, monkeypatch):
+        cli, ckpt, _ = self._setup(tmp_path, monkeypatch, sha_ok=False)
+        with pytest.raises(RuntimeError, match="binding broken"):
+            cli.flagship_bound_tokenizer(ckpt)
+
+    def test_missing_bound_file_fails_loudly(self, tmp_path,
+                                             monkeypatch):
+        cli, ckpt, _ = self._setup(tmp_path, monkeypatch,
+                                   tok_exists=False)
+        with pytest.raises(FileNotFoundError, match="binding broken"):
+            cli.flagship_bound_tokenizer(ckpt)

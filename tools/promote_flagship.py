@@ -41,6 +41,15 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 
+def _sha256(path: str) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True,
@@ -51,6 +60,15 @@ def main(argv=None):
                     help="JSON dict of SyntheticDataset knobs for the "
                          "bench gated eval (the checkpoint's training "
                          "distribution)")
+    ap.add_argument("--tokenizer", default=None,
+                    help="the BPE model the checkpoint was TRAINED with "
+                         "(default: the CLIs' resolution — the committed "
+                         "assets/spm model). Recorded path + sha256 in "
+                         "flagship_calib.json; bench.py decodes the "
+                         "flagship with exactly this file and aborts on "
+                         "a hash mismatch (VERDICT r4: the round-4 "
+                         "102%-WER regression came from an implicit "
+                         "checkpoint<->tokenizer binding)")
     ap.add_argument("--out_dir", default=os.path.join(REPO, "assets"))
     args = ap.parse_args(argv)
 
@@ -81,10 +99,24 @@ def main(argv=None):
     with open(args.calib) as f:
         calib = json.load(f)
     knobs = json.loads(args.knobs)
+
+    # the explicit checkpoint<->tokenizer binding: record WHICH BPE
+    # model the checkpoint decodes with, by path and content hash. The
+    # reference never needs this because its artifact is fixed
+    # (util/conf.py:473-474 loads one hardcoded model); our resolution
+    # order is a moving target, which round 4 proved by decoding the
+    # r3 checkpoint with a tokenizer it was never trained with.
+    from early_exit_tpu.cli import resolve_bpe_model
+    tok_path = os.path.abspath(args.tokenizer or resolve_bpe_model(""))
+    tok_rel = os.path.relpath(tok_path, REPO)
+    if tok_rel.startswith(".."):
+        tok_rel = tok_path          # outside the repo: keep absolute
     out = {
         "score": calib["score"],
         "thresholds": calib["thresholds"],
         "temperatures": calib["temperatures"],
+        "tokenizer": tok_rel,
+        "tokenizer_sha256": _sha256(tok_path),
         "provenance": {
             "ckpt": args.ckpt,
             "calib": args.calib,
