@@ -33,6 +33,11 @@ class Utterance:
     speaker_id: str
     chapter_id: str
     utterance_id: str
+    # generation-time difficulty (SyntheticDataset only): the additive
+    # white-noise sigma this utterance was drawn with. Lets evaluation
+    # tools correlate per-utterance gate decisions with ground-truth
+    # difficulty (tools/escalation_report.py). 0.0 for disk corpora.
+    noise_sigma: float = 0.0
 
 
 def _read_wav(path: str) -> Tuple[np.ndarray, int]:
@@ -221,4 +226,4 @@ class SyntheticDataset:
                  else self.noise)
         wav += sigma * rng.randn(len(wav)).astype(np.float32)
         return Utterance(wav.astype(np.float32), self.sample_rate, text,
-                         "0", "0", f"synth-{i}")
+                         "0", "0", f"synth-{i}", noise_sigma=float(sigma))
