@@ -193,6 +193,20 @@ def get_parser() -> argparse.ArgumentParser:
                    help="JSON from tools/calibrate_gate.py: per-exit "
                         "temperatures + thresholds (and the fitted "
                         "score) override --exit_threshold/--gate_score.")
+    p.add_argument("--cascade_k", type=int, default=None,
+                   help="Gated inference via the two-phase re-batching "
+                        "cascade (serving/cascade.py): a fixed-cost run "
+                        "of exits 1..k on every utterance, then only "
+                        "unconfident rows continue (re-batched, trunk "
+                        "resumed from the cached layer-k hidden) through "
+                        "exits k+1..E. Decisions identical to the "
+                        "while_loop gate; computed cost is per-utterance "
+                        "instead of batch-max. Requires --exit_threshold "
+                        "or --gate_calibration.")
+    p.add_argument("--cascade_pack", type=int, default=16,
+                   help="Phase-B re-batch granularity: escalated rows "
+                        "are packed into batches padded to a multiple "
+                        "of this.")
 
     p.add_argument("--profile_trace", type=str, default=None,
                    help="Capture a jax.profiler device trace of the "

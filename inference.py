@@ -71,15 +71,9 @@ def _bucket(n: int, g: int = 8) -> int:
     return ((n + g - 1) // g) * g
 
 
-def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
-    """Confidence-gated dynamic early exit (--exit_threshold): each batch
-    stops at the first exit whose confidence clears the threshold."""
-    from early_exit_tpu.models import early_exit_gate
-    if model_cfg.model_type not in early_exit_gate.GATED_MODEL_TYPES:
-        sys.exit(f"--exit_threshold: gating needs a multi-exit encoder "
-                 f"({', '.join(early_exit_gate.GATED_MODEL_TYPES)}); "
-                 f"{model_cfg.model_type} emits a single exit "
-                 "(reference README.md:61)")
+def _gate_operating_point(model_cfg, args):
+    """(threshold, score, temperatures) from --gate_calibration (the
+    fitted per-exit operating point) or the raw --exit_threshold."""
     score, temps = args.gate_score, None
     if args.gate_calibration is not None:
         # per-exit temperatures + thresholds fitted by
@@ -100,6 +94,94 @@ def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
               f"{args.gate_calibration})")
     else:
         thr = float(args.exit_threshold)
+    return thr, score, temps
+
+
+def run_ctc_gated_cascade(model_cfg, state, pipe, split, tokenizer, lex,
+                          args):
+    """Gated inference through the two-phase re-batching cascade
+    (--cascade_k, serving/cascade.py): exits 1..k at fixed cost for
+    every utterance, unconfident rows re-batched and resumed through
+    exits k+1..E. Decisions identical to run_ctc_gated's while_loop;
+    the computed-exits accounting is per-utterance instead of
+    batch-max."""
+    from early_exit_tpu.serving import cascade
+    E = model_cfg.n_enc_exits
+    k = int(args.cascade_k)
+    thr, score, temps = _gate_operating_point(model_cfg, args)
+    prog_a = jax.jit(lambda p, s, f, l, im: cascade.shallow_apply(
+        p, s, f, l, model_cfg, k=k, threshold=thr, score=score,
+        temperatures=temps, item_mask=im))
+    prog_b = jax.jit(lambda p, s, h, sl: cascade.continue_apply(
+        p, s, h, sl, model_cfg, k=k, threshold=thr, score=score,
+        temperatures=temps))
+    decode = jax.jit(lambda lp, l: ctc_ops.greedy_decode(
+        lp, l, blank=model_cfg.blank_id))
+    acc = WerAccumulator()
+    chosen_all, n_utts, exits_computed = [], 0, 0
+    for batch in pipe.epoch(0):
+        lp, chosen, accepted, sub_len, h_k = prog_a(
+            state["params"], state["model_state"], batch["feats"],
+            batch["feat_lengths"], batch["item_mask"])
+        toks, n = decode(lp, sub_len)
+        toks, n = np.asarray(toks).copy(), np.asarray(n).copy()
+        chosen = np.asarray(chosen).copy()
+        idx, pmask = cascade.pack_escalation_indices(
+            np.asarray(accepted), pack_batch=args.cascade_pack)
+        mask = np.asarray(batch["item_mask"]).astype(bool)
+        exits_computed += k * int(mask.sum()) + (E - k) * len(idx)
+        if idx.size:
+            jidx = jnp.asarray(idx)
+            b_lp, b_chosen = prog_b(
+                state["params"], state["model_state"],
+                jnp.take(h_k, jidx, axis=0),
+                jnp.take(sub_len, jidx, axis=0))
+            b_toks, b_n = decode(b_lp, jnp.take(sub_len, jidx, axis=0))
+            b_toks, b_n = np.asarray(b_toks), np.asarray(b_n)
+            b_chosen = np.asarray(b_chosen)
+            for j, (i, real) in enumerate(zip(idx, pmask)):
+                if real:
+                    toks[i], n[i] = b_toks[j], b_n[j]
+                    chosen[i] = b_chosen[j]
+        labels = np.asarray(batch["labels"])
+        lab_len = np.asarray(batch["label_lengths"])
+        for b in range(labels.shape[0]):
+            if not mask[b]:
+                continue
+            ref = tokenizer.decode(
+                [int(t) for t in labels[b][1:lab_len[b]]]).lower()
+            hyp = tokenizer.decode(
+                [int(t) for t in toks[b][:n[b]]]).lower()
+            if lex is not None:
+                hyp = lex.apply(hyp)
+            print(split, "EXPECTED:", ref)
+            print(split, f"GATED_OUT (exit {int(chosen[b])}):", hyp)
+            acc.add(ref, hyp)
+            chosen_all.append(int(chosen[b]))
+            n_utts += 1
+    hist = {e: chosen_all.count(e) for e in range(1, E + 1)}
+    # same summary-line shape as run_ctc_gated so downstream parsers
+    # (tools/reference_scale_run.py) read either; "mean exits run" is
+    # the honest computed cost (incl. phase-B pack padding)
+    print(f"{split} cascade exit histogram (utts per exit): {hist}")
+    print(f"{split} cascade escalated: "
+          f"{sum(v for e, v in hist.items() if e > k)}/{n_utts} "
+          f"(k={k}, mean chosen exit "
+          f"{np.mean(chosen_all) if chosen_all else 0:.2f})")
+    print(f"{split} gated WER: {100 * acc.value:.2f}% "
+          f"(mean exits run {exits_computed / max(n_utts, 1):.2f}/{E})")
+
+
+def run_ctc_gated(model_cfg, state, pipe, split, tokenizer, lex, args):
+    """Confidence-gated dynamic early exit (--exit_threshold): each batch
+    stops at the first exit whose confidence clears the threshold."""
+    from early_exit_tpu.models import early_exit_gate
+    if model_cfg.model_type not in early_exit_gate.GATED_MODEL_TYPES:
+        sys.exit(f"--exit_threshold: gating needs a multi-exit encoder "
+                 f"({', '.join(early_exit_gate.GATED_MODEL_TYPES)}); "
+                 f"{model_cfg.model_type} emits a single exit "
+                 "(reference README.md:61)")
+    thr, score, temps = _gate_operating_point(model_cfg, args)
     gated = jax.jit(lambda p, s, f, l, im: early_exit_gate.gated_apply(
         p, s, f, l, model_cfg, threshold=thr, item_mask=im,
         score=score, temperatures=temps))
@@ -463,8 +545,12 @@ def main(argv=None):
                                   lex, args, audio_cfg)
             elif (args.exit_threshold is not None
                   or args.gate_calibration is not None):
-                run_ctc_gated(model_cfg, state, pipe, split, tokenizer,
-                              lex, args)
+                if args.cascade_k is not None:
+                    run_ctc_gated_cascade(model_cfg, state, pipe, split,
+                                          tokenizer, lex, args)
+                else:
+                    run_ctc_gated(model_cfg, state, pipe, split,
+                                  tokenizer, lex, args)
             else:
                 run_ctc(model, model_cfg, state, pipe, split, tokenizer,
                         lex, args)

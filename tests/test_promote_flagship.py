@@ -33,8 +33,14 @@ def promoted(tmp_path_factory):
         "score": "maxprob",
         "thresholds": [0.9, 0.8, 0.7, 0.6, 0.5, 0.0],
         "temperatures": [2.0, 1.5, 1.0, 1.0, 1.0, 1.0],
-        "per_score": {"maxprob": {"mean_exit": 2.4,
-                                  "gated_wer_pct": 7.9}},
+        "per_score": {"maxprob": {
+            "mean_exit": 2.4, "gated_wer_pct": 7.9,
+            "per_exit": [{"exit": 1, "accept_share": 0.7},
+                         {"exit": 2, "accept_share": 0.1},
+                         {"exit": 3, "accept_share": 0.05},
+                         {"exit": 4, "accept_share": 0.05},
+                         {"exit": 5, "accept_share": 0.05},
+                         {"exit": 6, "accept_share": 0.05}]}},
     }
     calib_path = os.path.join(tmp, "gate_calib.json")
     with open(calib_path, "w") as f:
@@ -81,6 +87,8 @@ def test_calib_json_matches_bench_contract(promoted):
     assert prov["dev_mean_exit"] == 2.4
     assert prov["dev_gated_wer_pct"] == 7.9
     assert prov["target_wer_delta_pp"] == 0.5
+    # 70% accept at exit 1 -> cost(1) = 1 + 0.3*5 = 2.5 is minimal
+    assert out["cascade_k"] == 1
 
 
 def test_calib_records_tokenizer_binding(promoted):

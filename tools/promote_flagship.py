@@ -111,12 +111,21 @@ def main(argv=None):
     tok_rel = os.path.relpath(tok_path, REPO)
     if tok_rel.startswith(".."):
         tok_rel = tok_path          # outside the repo: keep absolute
+    # phase-A depth for the serving cascade (bench.py's primary gated
+    # strategy): minimize expected exits/utterance from the dev accept
+    # shares (serving/cascade.choose_k)
+    from early_exit_tpu.serving.cascade import choose_k
+    per_exit = calib.get("per_score", {}).get(
+        calib["score"], {}).get("per_exit", [])
+    shares = [st.get("accept_share", 0.0) for st in per_exit]
     out = {
         "score": calib["score"],
         "thresholds": calib["thresholds"],
         "temperatures": calib["temperatures"],
         "tokenizer": tok_rel,
         "tokenizer_sha256": _sha256(tok_path),
+        "cascade_k": (choose_k(shares, len(calib["thresholds"]))
+                      if shares else 2),
         "provenance": {
             "ckpt": args.ckpt,
             "calib": args.calib,
