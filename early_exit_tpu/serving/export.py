@@ -119,6 +119,52 @@ def make_gated_serve_fn(model_cfg: ModelConfig, audio_cfg: AudioConfig,
     return serve
 
 
+def make_cascade_fns(model_cfg: ModelConfig, audio_cfg: AudioConfig,
+                     params, model_state, *, k: int,
+                     gate_score: str = "maxprob",
+                     gate_temperatures=None):
+    """The two cascade serving programs (serving/cascade.py) in export
+    form. Phase-A depth `k` and the calibration temperatures are baked
+    (they belong to the promoted operating point); the per-exit
+    thresholds stay a runtime (E,) array so a deployment can move along
+    the quality/latency curve without re-exporting.
+
+    phase_a: (wav (B, S), n_samples (B,), thresholds (E,)) ->
+        (tokens (B, T'), n_tok (B,), chosen (B,), accepted i32 (B,),
+         sub_len (B,), h_k (B, T', D))
+    phase_b: (h_k (B', T', D), sub_len (B',), thresholds (E,)) ->
+        (tokens (B', T'), n_tok (B',), chosen (B',))
+    """
+    from early_exit_tpu.serving import cascade
+
+    def phase_a(wav, n_samples, thresholds):
+        feats = frontend.mel_spectrogram(wav, audio_cfg,
+                                         method=audio_cfg.mel_method)
+        lengths = frontend.mel_lengths(n_samples, audio_cfg.hop_length)
+        item_mask = (n_samples > 0).astype(jnp.float32)
+        logp, chosen, accepted, sub_len, h_k = cascade.shallow_apply(
+            params, model_state, feats, lengths, model_cfg, k=k,
+            threshold=thresholds, score=gate_score,
+            temperatures=gate_temperatures, item_mask=item_mask)
+        toks, n_tok = ctc_ops.greedy_decode(logp, sub_len,
+                                            blank=model_cfg.blank_id)
+        return (toks.astype(jnp.int32), n_tok.astype(jnp.int32),
+                chosen.astype(jnp.int32), accepted.astype(jnp.int32),
+                sub_len.astype(jnp.int32), h_k)
+
+    def phase_b(h_k, sub_len, thresholds):
+        logp, chosen = cascade.continue_apply(
+            params, model_state, h_k, sub_len, model_cfg, k=k,
+            threshold=thresholds, score=gate_score,
+            temperatures=gate_temperatures)
+        toks, n_tok = ctc_ops.greedy_decode(logp, sub_len,
+                                            blank=model_cfg.blank_id)
+        return (toks.astype(jnp.int32), n_tok.astype(jnp.int32),
+                chosen.astype(jnp.int32))
+
+    return phase_a, phase_b
+
+
 def export_recognizer(model, model_cfg: ModelConfig,
                       audio_cfg: AudioConfig, params, model_state,
                       shapes: Sequence[Tuple[int, int]] = (), *,
@@ -126,6 +172,8 @@ def export_recognizer(model, model_cfg: ModelConfig,
                       gate_score: str = "maxprob",
                       symbolic_max_samples: int | None = None,
                       gated: bool = False,
+                      cascade_k: int | None = None,
+                      gate_temperatures=None,
                       tokenizer=None) -> ExportBundle:
     """Lower + serialize the serve program for each (B, S) bucket shape.
 
@@ -152,7 +200,16 @@ def export_recognizer(model, model_cfg: ModelConfig,
         gated_jitted = jax.jit(make_gated_serve_fn(
             model_cfg, audio_cfg, params, model_state,
             gate_score=gate_score))
+    casc_a = casc_b = None
+    if cascade_k is not None:
+        pa, pb = make_cascade_fns(model_cfg, audio_cfg, params,
+                                  model_state, k=int(cascade_k),
+                                  gate_score=gate_score,
+                                  gate_temperatures=gate_temperatures)
+        casc_a, casc_b = jax.jit(pa), jax.jit(pb)
     thr_aval = jax.ShapeDtypeStruct((), jnp.float32)
+    thrv_aval = jax.ShapeDtypeStruct((model_cfg.n_enc_exits,),
+                                     jnp.float32)
     programs: Dict[str, bytes] = {}
     meta_shapes = {}
     n_exits = None
@@ -175,6 +232,19 @@ def export_recognizer(model, model_cfg: ModelConfig,
                 gated_jitted, platforms=list(platforms))(
                     wav_aval, n_aval, thr_aval)
             programs["gated/" + _shape_key(b, s)] = gexp.serialize()
+        if casc_a is not None:
+            aexp = jax.export.export(
+                casc_a, platforms=list(platforms))(
+                    wav_aval, n_aval, thrv_aval)
+            programs["cascade_a/" + _shape_key(b, s)] = aexp.serialize()
+            # phase B consumes phase A's h_k/sub_len avals verbatim
+            h_aval, sl_aval = aexp.out_avals[5], aexp.out_avals[4]
+            bexp = jax.export.export(
+                casc_b, platforms=list(platforms))(
+                    jax.ShapeDtypeStruct(h_aval.shape, h_aval.dtype),
+                    jax.ShapeDtypeStruct(sl_aval.shape, sl_aval.dtype),
+                    thrv_aval)
+            programs["cascade_b/" + _shape_key(b, s)] = bexp.serialize()
     if symbolic_max_samples is not None:
         # lower bound: the symbolic length arithmetic must PROVE the
         # twice-strided subsampler output length is positive (else the
@@ -209,6 +279,7 @@ def export_recognizer(model, model_cfg: ModelConfig,
         "platforms": list(platforms),
         "gate_score": gate_score,
         "gated": bool(gated),
+        "cascade_k": (int(cascade_k) if cascade_k is not None else None),
         "blank_id": int(model_cfg.blank_id),
         "n_exits": n_exits,
         "sample_rate": int(audio_cfg.sample_rate),
@@ -267,7 +338,7 @@ class ExportedRecognizer:
         self._shapes = sorted(
             (int(k.split("x")[0]), int(k.split("x")[1]))
             for k in self.bundle.programs
-            if k != "poly" and not k.startswith("gated/"))
+            if k != "poly" and "/" not in k)   # gated/ cascade_*/ aside
         self._poly = self.bundle.manifest["shapes"].get("poly") \
             if "poly" in self.bundle.programs else None
 
@@ -345,6 +416,50 @@ class ExportedRecognizer:
             wav, n_samples, jnp.float32(threshold))
         return (np.asarray(toks)[:b], np.asarray(n_tok)[:b],
                 np.asarray(chosen)[:b])
+
+    def cascade(self, wav: np.ndarray, n_samples: np.ndarray,
+                thresholds: Sequence[float]):
+        """Two-phase re-batched gated decode (bundle must be exported
+        with cascade_k): phase A (exits 1..k, fixed cost) on the whole
+        batch, then ONLY unaccepted rows — packed on the host, hidden
+        states re-fed — continue through exits k+1..E. thresholds: the
+        per-exit (E,) operating point (runtime, so deployments can move
+        along the quality/latency curve without re-exporting).
+
+        Returns (tokens (B, T'), n_tok (B,), chosen_exit (B,) 1-based,
+        escalated (B,) bool)."""
+        if self.manifest.get("cascade_k") is None:
+            raise ValueError("bundle was exported without cascade_k")
+        thr = jnp.asarray(np.asarray(thresholds, np.float32))
+        if thr.shape != (self.manifest["n_exits"],):
+            raise ValueError(
+                f"thresholds must be shape ({self.manifest['n_exits']},)"
+                f"; got {tuple(thr.shape)}")
+        key, wav, n_samples, b = self._padded(wav, n_samples)
+        toks, n_tok, chosen, accepted, sub_len, h_k = self._fn(
+            "cascade_a/" + key)(wav, n_samples, thr)
+        toks = np.asarray(toks)[:b].copy()
+        n_tok = np.asarray(n_tok)[:b].copy()
+        chosen = np.asarray(chosen)[:b].copy()
+        accepted = np.asarray(accepted)[:b].astype(bool)
+        esc = np.nonzero(~accepted)[0]
+        if esc.size:
+            # pack escalated rows to the front of a full-size phase-B
+            # batch (same exported shape); pad rows carry sub_len 0 and
+            # are discarded after the call
+            B_prog = int(np.asarray(sub_len).shape[0])
+            h_np = np.asarray(h_k)
+            sl_np = np.asarray(sub_len)
+            h_pack = np.zeros_like(h_np)
+            sl_pack = np.zeros_like(sl_np)
+            h_pack[:esc.size] = h_np[esc]
+            sl_pack[:esc.size] = sl_np[esc]
+            bt, bn, bc = self._fn("cascade_b/" + key)(
+                jnp.asarray(h_pack), jnp.asarray(sl_pack), thr)
+            bt, bn, bc = np.asarray(bt), np.asarray(bn), np.asarray(bc)
+            for j, i in enumerate(esc):
+                toks[i], n_tok[i], chosen[i] = bt[j], bn[j], bc[j]
+        return toks, n_tok, chosen, ~accepted
 
     def detokenize(self, ids: Sequence[int]) -> str:
         """Greedy-output ids -> text via the bundled vocab table (the

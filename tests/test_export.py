@@ -202,6 +202,70 @@ def test_gated_programs(tmp_path):
         exp.ExportedRecognizer(p2).gated(*_wav(2, 4000), 0.5)
 
 
+def test_cascade_programs(tmp_path):
+    """cascade_k bundles carry the two-phase programs; the consumer's
+    rec.cascade orchestration (A -> host pack -> B) must reproduce
+    gated_apply's per-row decisions with runtime per-exit thresholds."""
+    import jax.numpy as jnp
+    from early_exit_tpu.models import early_exit_gate
+    from early_exit_tpu.ops import ctc as ctc_ops
+    from early_exit_tpu.ops import frontend
+
+    model, params, state = _setup()
+    temps = [2.0, 1.0]
+    bundle = exp.export_recognizer(model, CFG, ACFG, params, state,
+                                   [(3, 4000)], platforms=["cpu"],
+                                   cascade_k=1, gate_temperatures=temps)
+    path = str(tmp_path / "m.eetx")
+    exp.save_bundle(path, bundle)
+    rec = exp.ExportedRecognizer(path)
+    assert rec.manifest["cascade_k"] == 1
+    assert {"cascade_a/3x4000", "cascade_b/3x4000"} <= set(
+        rec.bundle.programs)
+
+    wav, n = _wav(3, 4000, seed=4)
+    feats = frontend.mel_spectrogram(jnp.asarray(wav), ACFG,
+                                     method=ACFG.mel_method)
+    lengths = frontend.mel_lengths(jnp.asarray(n), ACFG.hop_length)
+    # thresholds spanning accept-all .. escalate-all, plus a split point
+    # at the median of the model's own exit-1 confidence
+    logp, sub_len, _ = model.apply(params, state, feats, lengths, CFG,
+                                   train=False)
+    from early_exit_tpu.models import gate_calibration
+    mask = jnp.arange(logp.shape[2])[None, :] < sub_len[:, None]
+    conf1 = np.asarray(gate_calibration.scaled_confidence(
+        logp[0], mask, "maxprob", temps[0]))
+    split_thr = float(np.median(conf1))
+    for thr in ([0.0, 0.0], [0.999, 0.0], [split_thr, 0.0]):
+        toks, n_tok, chosen, escalated = rec.cascade(wav, n, thr)
+        logp_g, chosen_ref, sub_ref, _ = early_exit_gate.gated_apply(
+            params, state, feats, lengths, CFG, threshold=thr,
+            score="maxprob", temperatures=temps,
+            item_mask=(jnp.asarray(n) > 0).astype(jnp.float32))
+        toks_ref, n_ref = ctc_ops.greedy_decode(
+            logp_g, sub_ref, blank=CFG.blank_id)
+        np.testing.assert_array_equal(chosen, np.asarray(chosen_ref))
+        np.testing.assert_array_equal(n_tok, np.asarray(n_ref))
+        for i in range(3):
+            np.testing.assert_array_equal(
+                toks[i, :n_tok[i]],
+                np.asarray(toks_ref)[i, :n_ref[i]])
+        np.testing.assert_array_equal(escalated, chosen > 1)
+    # the split threshold must actually split (else the merge path of
+    # rec.cascade was not exercised)
+    _, _, _, esc_split = rec.cascade(wav, n, [split_thr, 0.0])
+    assert esc_split.any() and (~esc_split).any()
+
+    with pytest.raises(ValueError, match="thresholds"):
+        rec.cascade(wav, n, [0.5])
+    b2 = exp.export_recognizer(model, CFG, ACFG, params, state,
+                               [(2, 4000)], platforms=["cpu"])
+    p2 = str(tmp_path / "m2.eetx")
+    exp.save_bundle(p2, b2)
+    with pytest.raises(ValueError, match="cascade_k"):
+        exp.ExportedRecognizer(p2).cascade(*_wav(2, 4000), [0.5, 0.0])
+
+
 def test_rejects_non_bundle(tmp_path):
     import json
     import zipfile

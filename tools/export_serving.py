@@ -65,6 +65,12 @@ def main(argv=None):
                      help="true: also export confidence-gated variants "
                           "(while_loop early exit, threshold a runtime "
                           "scalar) — rec.gated(wav, n, threshold)")
+    own.add_argument("--export_cascade_k", type=int, default=None,
+                     help="also export the two-phase cascade programs "
+                          "(serving/cascade.py) at this phase-A depth — "
+                          "rec.cascade(wav, n, thresholds). Per-exit "
+                          "thresholds stay runtime; --gate_calibration "
+                          "(if given) bakes its temperatures in")
     mine, rest = own.parse_known_args(argv)
 
     args, model_cfg, _, audio_cfg, tokenizer = get_args(rest, mode="infer")
@@ -92,11 +98,20 @@ def main(argv=None):
     shapes = _parse_shapes(mine.export_shapes) if mine.export_shapes \
         else []
     gate = args.gate_score
+    temps = None
+    if args.gate_calibration is not None:
+        import json
+        with open(args.gate_calibration) as f:
+            calib = json.load(f)
+        gate = calib.get("score", gate)
+        temps = calib.get("temperatures")
     bundle = exp.export_recognizer(
         model, model_cfg, audio_cfg, params, model_state, shapes,
         platforms=platforms, gate_score=gate,
         symbolic_max_samples=mine.export_symbolic_max,
         gated=mine.export_gated.lower() in ("true", "1", "yes"),
+        cascade_k=mine.export_cascade_k,
+        gate_temperatures=temps,
         tokenizer=tokenizer)
     exp.save_bundle(mine.export_path, bundle)
     size = os.path.getsize(mine.export_path)
