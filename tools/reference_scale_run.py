@@ -392,6 +392,35 @@ def main():
                     summary[f"gated_cal{key}_mean_exits"] = float(
                         m.group(2))
 
+            # calibrated CASCADE leg (serving/cascade.py): same
+            # decisions, per-utterance computed-exit accounting + a
+            # per-exit accept histogram instead of the while_loop's
+            # batch-max count
+            from early_exit_tpu.serving.cascade import choose_k
+            shares = [st.get("accept_share", 0.0) for st in
+                      calib.get("per_score", {}).get(
+                          calib["score"], {}).get("per_exit", [])]
+            k = choose_k(shares, len(calib["thresholds"])) if shares \
+                else 2
+            out = run(infer_base + ["--decode", "greedy",
+                                    "--gate_calibration", calib_path,
+                                    "--cascade_k", str(k)], env, log)
+            summary["cascade_k"] = k
+            for split in ("test-clean", "test-other"):
+                key = "" if split == "test-clean" else "_other"
+                m = re.search(
+                    rf"{split} gated WER: ([0-9.]+)% "
+                    rf"\(mean exits run ([0-9.]+)", out)
+                if m:
+                    summary[f"cascade{key}_wer_pct"] = float(m.group(1))
+                    summary[f"cascade{key}_mean_exits_computed"] = float(
+                        m.group(2))
+                m = re.search(
+                    rf"{split} cascade exit histogram "
+                    rf"\(utts per exit\): (\{{[^}}]*\}})", out)
+                if m:
+                    summary[f"cascade{key}_exit_histogram"] = m.group(1)
+
     out_path = os.path.join(work, f"summary_{tag}.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
