@@ -374,7 +374,7 @@ def gated_bench(rt, fused=False, *, ckpt_path=None, calib=None,
     from early_exit_tpu.serving import cascade as casc
     E_ = cfg.n_enc_exits
     K = int((calib or {}).get("cascade_k") or 2)
-    PACK = 32
+    PACK = 8   # phase-B pad waste <= 7 rows of 128; one packed shape per run
 
     @jax.jit
     def cascade_a(params, state, wav, n):

@@ -52,7 +52,7 @@ def test_cascade_leg_keys_and_agreement(tiny_ckpt, monkeypatch):
     monkeypatch.setattr(bench, "SANE_DENSE_WER", 1000.0)
     out = bench.gated_bench(0.0, ckpt_path=tiny_ckpt, calib=_calib(),
                             model_overrides=TINY, B=4, NB=2)
-    assert out["gated_strategy"] == "cascade(k=1,pack=32)"
+    assert out["gated_strategy"] == "cascade(k=1,pack=8)"
     # cascade decisions must equal the while_loop gate's on every row
     assert out["gated_cascade_agree"] == 1.0
     assert 1.0 <= out["gated_mean_exits"] <= 2.0
