@@ -62,26 +62,54 @@ def _slice_layers(tree, lo: int, hi: int):
     return jax.tree_util.tree_map(lambda a: a[lo:hi], tree)
 
 
-def _exit_logp_conf(heads, hidden, mask, cfg: ModelConfig, *,
-                    e0: int, score: str, temperatures):
-    """hidden (M, B, T', D) for exits e0..e0+M-1 (0-based) ->
-    (logp (M, B, T', V) fp32, conf (M, B))."""
-    M = hidden.shape[0]
-    head_sl = _slice_layers(heads, e0, e0 + M)
+def _reachable(threshold, e0: int, M: int):
+    """Which of exits e0..e0+M-1 can ever accept. All confidence scores
+    live in [0, 1], so a CONCRETE per-exit threshold > 1.0 (the
+    calibrator emits 2.0 for "never accept here") means that exit's
+    head, softmax and confidence are dead compute — skip them at trace
+    time. Traced thresholds (e.g. runtime arrays in exported programs)
+    conservatively keep every exit."""
+    if isinstance(threshold, jax.Array) or not hasattr(threshold,
+                                                      "__len__"):
+        return [True] * M
+    try:
+        return [float(threshold[e0 + i]) <= 1.0 for i in range(M)]
+    except (TypeError, ValueError):
+        return [True] * M
 
-    def one(head_p, h, temp):
-        logits = nn.linear(head_p, h, compute_dtype=cfg.dtype)
+
+def _exit_logp_conf(heads, hidden, mask, cfg: ModelConfig, *,
+                    e0: int, score: str, temperatures,
+                    reachable=None):
+    """hidden (M, B, T', D) for exits e0..e0+M-1 (0-based) ->
+    (logp (M, B, T', V) fp32, conf (M, B)). Exits marked unreachable
+    get conf=-inf and a zero logp buffer without running their head."""
+    M, B, Tp, _ = hidden.shape
+    V = cfg.vocab_size
+    if reachable is None:
+        reachable = [True] * M
+    temps = (None if temperatures is None else jnp.broadcast_to(
+        jnp.asarray(temperatures, jnp.float32), (cfg.n_enc_exits,)))
+    logps, confs = [], []
+    for i in range(M):
+        if not reachable[i] and i != M - 1:
+            # i == M-1 stays computed in phase B (final-exit fallback
+            # logp is decoded); callers never select an unreachable
+            # NON-final slot, so zeros are fine there
+            logps.append(jnp.zeros((B, Tp, V), jnp.float32))
+            confs.append(jnp.full((B,), -jnp.inf, jnp.float32))
+            continue
+        head_p = jax.tree_util.tree_map(lambda a: a[e0 + i], heads)
+        logits = nn.linear(head_p, hidden[i], compute_dtype=cfg.dtype)
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        conf_lp = (logp if temp is None
-                   else jax.nn.log_softmax(logits / temp, axis=-1))
-        return logp, exit_confidence(conf_lp, mask, score)
-
-    if temperatures is None:
-        return jax.vmap(lambda hp, h: one(hp, h, None))(head_sl, hidden)
-    temps = jnp.broadcast_to(
-        jnp.asarray(temperatures, jnp.float32), (cfg.n_enc_exits,))
-    return jax.vmap(one)(head_sl, hidden, temps[e0:e0 + M])
+        conf_lp = (logp if temps is None else
+                   jax.nn.log_softmax(logits / temps[e0 + i], axis=-1))
+        logps.append(logp)
+        confs.append(exit_confidence(conf_lp, mask, score)
+                     if reachable[i]
+                     else jnp.full((B,), -jnp.inf, jnp.float32))
+    return jnp.stack(logps), jnp.stack(confs)
 
 
 def _earliest_ok(conf, thr, *, fallback_last: bool):
@@ -122,7 +150,8 @@ def shallow_apply(params, state, feats, lengths, cfg: ModelConfig, *,
     thr = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32), (E,))
     logp, conf = _exit_logp_conf(params["heads"], exit_h, mask, cfg,
                                  e0=0, score=score,
-                                 temperatures=temperatures)
+                                 temperatures=temperatures,
+                                 reachable=_reachable(threshold, 0, k))
     chosen_rel, accepted = _earliest_ok(conf, thr[:k],
                                         fallback_last=False)
     logp_sel = jnp.take_along_axis(
@@ -160,7 +189,9 @@ def continue_apply(params, state, h_k, sub_len, cfg: ModelConfig, *,
     thr = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32), (E,))
     logp, conf = _exit_logp_conf(params["heads"], exit_h, mask, cfg,
                                  e0=k, score=score,
-                                 temperatures=temperatures)
+                                 temperatures=temperatures,
+                                 reachable=_reachable(threshold, k,
+                                                      E - k))
     chosen_rel, _ = _earliest_ok(conf, thr[k:], fallback_last=True)
     logp_sel = jnp.take_along_axis(
         logp, chosen_rel[None, :, None, None], axis=0)[0]

@@ -135,6 +135,42 @@ def test_choose_k_minimizes_expected_exits():
     assert cascade.choose_k([0.25, 0.4, 0.2, 0.1, 0.05, 0.0], 6) == 2
 
 
+def test_unreachable_threshold_exits_are_skipped_but_equivalent(model):
+    """The calibrator emits 2.0 thresholds for never-accept exits; the
+    cascade skips those heads at trace time (dead compute) while the
+    decisions must still match gated_apply, which computes everything."""
+    params, state, feats, lengths, thr_by_score = model
+    base = thr_by_score["maxprob"]
+    # exit1 and exit3 unreachable: accept at 2 or fall through to 4
+    THR = [2.0, base[1], 2.0, 0.0]
+    g_lp, g_chosen, _, _ = early_exit_gate.gated_apply(
+        params, state, feats, lengths, CFG, threshold=THR,
+        temperatures=TEMPS)
+    a_lp, a_chosen, accepted, sub_len, h_k = cascade.shallow_apply(
+        params, state, feats, lengths, CFG, k=2, threshold=THR,
+        temperatures=TEMPS)
+    chosen = np.asarray(a_chosen).copy()
+    lp = np.asarray(a_lp).copy()
+    idx, pm = cascade.pack_escalation_indices(np.asarray(accepted), 2)
+    assert (np.asarray(a_chosen)[np.asarray(accepted)] == 2).all()
+    if idx.size:
+        b_lp, b_chosen = cascade.continue_apply(
+            params, state, jnp.take(h_k, jnp.asarray(idx), axis=0),
+            jnp.take(sub_len, jnp.asarray(idx), axis=0), CFG, k=2,
+            threshold=THR, temperatures=TEMPS)
+        for j, (i, real) in enumerate(zip(idx, pm)):
+            if real:
+                chosen[i] = np.asarray(b_chosen)[j]
+                lp[i] = np.asarray(b_lp)[j]
+    np.testing.assert_array_equal(chosen, np.asarray(g_chosen))
+    np.testing.assert_allclose(lp, np.asarray(g_lp), rtol=1e-5,
+                               atol=1e-5)
+    # the skip is real: unreachable exits produce -inf confidence
+    reach = cascade._reachable(THR, 0, 4)
+    assert reach == [False, True, False, True]
+    assert cascade._reachable(jnp.asarray(THR), 0, 4) == [True] * 4
+
+
 def test_rejects_single_exit_and_bad_k(model):
     params, state, feats, lengths, _ = model
     with pytest.raises(ValueError, match="k must be"):
