@@ -1,11 +1,11 @@
 """tools/escalation_report.py: the escalation-evidence contract.
 
 The report is VERDICT r4 item 4's deliverable — per-utterance exit
-choices correlated with ground-truth difficulty. This pins its output
-format (keys bench notes / reports/README.md reference) and the basic
-invariants: the accept histogram is a distribution over exits, bucket
-stats cover every utterance, and per-utterance sigma is surfaced by
-SyntheticDataset (noise_sigma field).
+choices correlated with ground-truth difficulty, across an operating-
+curve sweep. This pins the output format and the invariants: histograms
+are distributions, buckets cover every utterance, tightening the first
+reachable threshold escalates monotonically, and SyntheticDataset
+surfaces per-utterance sigma.
 """
 
 import json
@@ -47,6 +47,7 @@ def report(tmp_path_factory):
     rep = escalation_report.main(
         ["--ckpt", ckpt, "--calib", calib_path, "--out", out,
          "--n_utts", "16", "--batch_size", "8", "--n_buckets", "2",
+         "--sweep", "0.0,0.9",
          "--model_json", json.dumps(TINY)])
     with open(out) as f:
         assert json.load(f) == rep
@@ -64,11 +65,27 @@ def test_buckets_cover_all_utts_and_ladder_keys(report):
     assert sum(b["n_utts"] for b in report["snr_buckets"]) == 16
     for b in report["snr_buckets"]:
         assert set(b) >= {"sigma_range", "mean_chosen_exit",
-                          "gated_wer_pct", "exit1_wer_pct",
-                          "exit2_wer_pct"}
+                          "gated_wer_pct", "escalated_share"}
     assert set(report["exit_wer_ladder"]) == {"exit1", "exit2"}
     assert -1.0 <= report["sigma_exit_pearson"] <= 1.0
     assert -1.0 <= report["sigma_exit_spearman"] <= 1.0
+
+
+def test_sweep_escalates_monotonically(report):
+    """Tightening the first reachable exit's threshold can only push
+    utterances deeper: mean exits is non-decreasing in the threshold,
+    the all-pass point accepts everything shallow, and near-1
+    thresholds escalate (almost) everything on a random-init model."""
+    pts = {p["point"]: p for p in report["operating_points"]}
+    assert "promoted" in pts
+    lo = pts["sweep_exit1@0.0"]
+    hi = pts["sweep_exit1@0.9"]
+    assert lo["mean_exits"] == 1.0          # threshold 0: all accept
+    assert hi["mean_exits"] >= pts["promoted"]["mean_exits"] >= \
+        lo["mean_exits"]
+    assert hi["escalated_share"] >= lo["escalated_share"]
+    for p in pts.values():
+        assert abs(sum(p["accept_histogram"].values()) - 1.0) < 1e-6
 
 
 def test_synthetic_dataset_exposes_noise_sigma():
@@ -78,8 +95,6 @@ def test_synthetic_dataset_exposes_noise_sigma():
     sigmas = [ds[i].noise_sigma for i in range(8)]
     assert all(0.1 <= s <= 0.6 for s in sigmas)
     assert len(set(round(s, 6) for s in sigmas)) > 1   # per-utt spread
-    # reproducible: the sigma is the one the waveform was drawn with
-    assert ds[0].noise_sigma == ds[0].noise_sigma
     fixed = SyntheticDataset(n_items=4, seed=3, noise=0.07)
     assert all(fixed[i].noise_sigma == pytest.approx(0.07)
                for i in range(4))

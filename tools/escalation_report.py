@@ -2,24 +2,33 @@
 """Per-utterance confidence-driven escalation evidence (VERDICT r4 item 4).
 
 Demonstrates the calibrated gate doing what it claims: easy utterances
-exit shallow, hard ones escalate deep and recover quality — the per-
-utterance depth choice the reference's always-all-exits inference
-(/root/reference/inference.py:66-72) cannot make. On a fresh-seed
-SyntheticDataset split drawn from the flagship's training distribution
-(the calib asset's `bench_eval` knobs) it reports:
+exit shallow, hard ones escalate deep — the per-utterance depth choice
+the reference's always-all-exits inference
+(/root/reference/inference.py:66-72) cannot make.
 
-- the per-exit ACCEPT HISTOGRAM (share of utterances accepted at each
-  exit) — escalation is real only if this is spread, not a point mass;
+One dense pass computes every exit's decode and calibrated confidence
+for a fresh-seed SyntheticDataset split drawn from the flagship's
+training distribution (the calib asset's `bench_eval` knobs); the gate
+(earliest exit whose confidence clears its threshold, final exit as
+fallback — exactly gated_apply's rule) is then simulated host-side at
+the PROMOTED operating point AND along a threshold sweep. Each
+operating point reports:
+
+- the per-exit ACCEPT HISTOGRAM (share of utterances per exit);
 - an SNR-BUCKET table (ground-truth per-utterance noise sigma
-  quartiles): mean chosen exit, gated WER, exit-1 and exit-E WER per
-  bucket — hard buckets must choose deeper exits;
-- sigma<->chosen-exit Pearson + Spearman correlation;
-- the full per-exit WER ladder vs the gated WER, and the mean exits run
-  vs E (the compute saving).
+  quartiles): mean chosen exit + gated WER per bucket;
+- sigma<->chosen-exit Pearson + Spearman correlation — the evidence
+  that the confidence signal orders utterances by difficulty;
+- gated WER vs the full per-exit ladder, and the mean exits run.
+
+The promoted (quality-constrained) point may legitimately concentrate
+on the best exit when the ladder has a single dominant exit; the sweep
+shows the same confidence signal spreading utterances across depths as
+the threshold tightens, hardest (lowest-SNR) first.
 
     python tools/escalation_report.py \
         --ckpt assets/flagship_ckpt --calib assets/flagship_calib.json \
-        --out reports/escalation_v3_seed1.json
+        --out reports/escalation_v3_seed1.json --sweep 0.8,0.9,0.95
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ enable_compilation_cache()
 
 
 def wer_counts(ref_words, hyp_words):
-    """(edit_distance, n_ref_words) via banded-free DP (small strings)."""
+    """(edit_distance, n_ref_words)."""
     R, H = len(ref_words), len(hyp_words)
     D = np.zeros((R + 1, H + 1), np.int32)
     D[:, 0] = np.arange(R + 1)
@@ -57,6 +66,59 @@ def wer_counts(ref_words, hyp_words):
                           D[a - 1, b - 1] + (ref_words[a - 1]
                                              != hyp_words[b - 1]))
     return int(D[R, H]), max(R, 1)
+
+
+def pearson(a, b):
+    a = np.asarray(a, np.float64) - np.mean(a)
+    b = np.asarray(b, np.float64) - np.mean(b)
+    den = float(np.sqrt((a * a).sum() * (b * b).sum()))
+    return float((a * b).sum() / den) if den else 0.0
+
+
+def spearman(a, b):
+    return pearson(np.argsort(np.argsort(a)).astype(np.float64),
+                   np.argsort(np.argsort(b)).astype(np.float64))
+
+
+def simulate_point(thresholds, conf, sig, eerr, words, E,
+                   n_buckets):
+    """Gate rule (gated_apply semantics): earliest exit with
+    conf >= threshold, final exit as fallback. conf (E, N)."""
+    thr = np.asarray(thresholds, np.float64)
+    ok = conf >= thr[:, None]                       # (E, N)
+    ok[-1] = True
+    chosen = np.argmax(ok, axis=0) + 1              # (N,) 1-based
+    gerr = eerr[chosen - 1, np.arange(len(chosen))]
+    hist = {f"exit{e + 1}": round(float(np.mean(chosen == e + 1)), 4)
+            for e in range(E)}
+    qs = np.quantile(sig, np.linspace(0, 1, n_buckets + 1))
+    qs[-1] += 1e-9
+    buckets = []
+    for b in range(n_buckets):
+        m = (sig >= qs[b]) & (sig < qs[b + 1])
+        if not m.any():
+            continue
+        buckets.append({
+            "sigma_range": [round(float(qs[b]), 3),
+                            round(float(qs[b + 1]), 3)],
+            "n_utts": int(m.sum()),
+            "mean_chosen_exit": round(float(chosen[m].mean()), 3),
+            "escalated_share": round(float(np.mean(
+                chosen[m] > chosen.min())), 4),
+            "gated_wer_pct": round(100 * gerr[m].sum()
+                                   / words[m].sum(), 2),
+        })
+    return {
+        "thresholds": [round(float(t), 6) for t in thr],
+        "accept_histogram": hist,
+        "mean_exits": round(float(chosen.mean()), 3),
+        "escalated_share": round(float(np.mean(chosen > chosen.min())),
+                                 4),
+        "gated_wer_pct": round(100 * gerr.sum() / words.sum(), 2),
+        "sigma_exit_pearson": round(pearson(sig, chosen), 3),
+        "sigma_exit_spearman": round(spearman(sig, chosen), 3),
+        "snr_buckets": buckets,
+    }
 
 
 def main(argv=None):
@@ -72,6 +134,11 @@ def main(argv=None):
                          "test(2002)/dev(4004)/bench(7777) draws")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--n_buckets", type=int, default=4)
+    ap.add_argument("--sweep", default="",
+                    help="comma-separated thresholds for the FIRST "
+                         "reachable exit (others kept from the calib): "
+                         "the operating curve from the promoted point "
+                         "toward deeper escalation")
     ap.add_argument("--fused_block", action="store_true",
                     help="run the fused whole-block kernel (TPU only)")
     ap.add_argument("--model_json", default=None,
@@ -81,7 +148,7 @@ def main(argv=None):
 
     from early_exit_tpu.configs import AudioConfig, ModelConfig
     from early_exit_tpu.data.librispeech import SyntheticDataset
-    from early_exit_tpu.models import early_conformer, early_exit_gate
+    from early_exit_tpu.models import early_conformer, gate_calibration
     from early_exit_tpu.ops import ctc, frontend
     from early_exit_tpu.tokenizer.bpe import load_tokenizer
     from early_exit_tpu.training import checkpoint
@@ -119,115 +186,88 @@ def main(argv=None):
     utts = [ds[i] for i in range(args.n_utts)]
     max_n = max(len(u.waveform) for u in utts)
 
-    THRESHOLD = calib["thresholds"]
-    TEMPS = calib["temperatures"]
+    THRESHOLDS = [float(t) for t in calib["thresholds"]]
+    TEMPS = [float(t) for t in calib["temperatures"]]
     SCORE = calib["score"]
     E = cfg.n_enc_exits
 
     @jax.jit
-    def run_gated(params, state, wav, n, item_mask):
+    def dense(params, state, wav, n):
         feats = frontend.mel_spectrogram(wav, acfg, method="dft")
         lengths = frontend.mel_lengths(n, acfg.hop_length)
-        logp, chosen, sub_len, _ = early_exit_gate.gated_apply(
-            params, state, feats, lengths, cfg, threshold=THRESHOLD,
-            score=SCORE, temperatures=TEMPS, item_mask=item_mask)
-        toks, ntoks = ctc.greedy_decode(logp, sub_len)
-        return toks, ntoks, chosen
-
-    @jax.jit
-    def run_dense(params, state, wav, n):
-        feats = frontend.mel_spectrogram(wav, acfg, method="dft")
-        lengths = frontend.mel_lengths(n, acfg.hop_length)
-        logits, sub_len, _ = early_conformer.apply(
+        logp, sub_len, _ = early_conformer.apply(
             params, state, feats, lengths, cfg, train=False,
-            log_probs=False)
+            log_probs=True)
+        mask = jnp.arange(logp.shape[2])[None, :] < sub_len[:, None]
+        conf = jnp.stack([gate_calibration.scaled_confidence(
+            logp[e], mask, SCORE, TEMPS[e]) for e in range(E)])
         toks, ntoks = jax.vmap(
-            lambda lp: ctc.greedy_decode(lp, sub_len))(logits)
-        return toks, ntoks
+            lambda lp: ctc.greedy_decode(lp, sub_len))(logp)
+        return toks, ntoks, conf
 
     B = args.batch_size
-    per_utt = []            # dicts: sigma, chosen, gated (err,n), per-exit
+    sig, words_l, eerr_l, conf_l = [], [], [], []
     for k0 in range(0, args.n_utts, B):
         chunk = utts[k0:k0 + B]
         wav = np.zeros((B, max_n), np.float32)
         n = np.zeros((B,), np.int32)
-        mask = np.zeros((B,), np.int32)
         for j, u in enumerate(chunk):
             wav[j, :len(u.waveform)] = u.waveform
             n[j] = len(u.waveform)
-            mask[j] = 1
-        gt, gn, chosen = run_gated(params, state, jnp.asarray(wav),
-                                   jnp.asarray(n), jnp.asarray(mask))
-        dt, dn = run_dense(params, state, jnp.asarray(wav),
-                           jnp.asarray(n))
-        gt, gn = np.asarray(gt), np.asarray(gn)
+        dt, dn, conf = dense(params, state, jnp.asarray(wav),
+                             jnp.asarray(n))
         dt, dn = np.asarray(dt), np.asarray(dn)
-        chosen = np.asarray(chosen)
+        conf = np.asarray(conf.astype(jnp.float32))
         for j, u in enumerate(chunk):
             ref = u.transcript.lower().split()
-            hyp = tok.decode([int(t) for t in gt[j][:gn[j]]]).lower()
-            gerr, gwords = wer_counts(ref, hyp.split())
-            exits_err = []
+            errs = []
             for e in range(E):
                 h = tok.decode([int(t) for t in
                                 dt[e, j][:dn[e, j]]]).lower()
-                exits_err.append(wer_counts(ref, h.split())[0])
-            per_utt.append({"sigma": u.noise_sigma,
-                            "chosen": int(chosen[j]),
-                            "gated_err": gerr, "words": gwords,
-                            "exit_err": exits_err})
+                errs.append(wer_counts(ref, h.split())[0])
+            sig.append(u.noise_sigma)
+            words_l.append(max(len(ref), 1))
+            eerr_l.append(errs)
+            conf_l.append(conf[:, j])
 
-    sig = np.array([u["sigma"] for u in per_utt])
-    cho = np.array([u["chosen"] for u in per_utt], np.float64)
-    words = np.array([u["words"] for u in per_utt], np.float64)
-    gerr = np.array([u["gated_err"] for u in per_utt], np.float64)
-    eerr = np.array([u["exit_err"] for u in per_utt], np.float64)  # (N,E)
+    sig = np.asarray(sig)
+    words = np.asarray(words_l, np.float64)
+    eerr = np.asarray(eerr_l, np.float64).T            # (E, N)
+    conf = np.asarray(conf_l, np.float64).T            # (E, N)
 
-    def pearson(a, b):
-        a = a - a.mean(); b = b - b.mean()
-        den = float(np.sqrt((a * a).sum() * (b * b).sum()))
-        return float((a * b).sum() / den) if den else 0.0
+    promoted = simulate_point(THRESHOLDS, conf, sig, eerr, words, E,
+                              args.n_buckets)
+    promoted["point"] = "promoted"
+    points = [promoted]
+    first_reach = next((e for e in range(E) if THRESHOLDS[e] <= 1.0),
+                       E - 1)
+    for t in [float(x) for x in args.sweep.split(",") if x]:
+        thr = list(THRESHOLDS)
+        thr[first_reach] = t
+        pt = simulate_point(thr, conf, sig, eerr, words, E,
+                            args.n_buckets)
+        pt["point"] = f"sweep_exit{first_reach + 1}@{t}"
+        points.append(pt)
 
-    def spearman(a, b):
-        return pearson(np.argsort(np.argsort(a)).astype(np.float64),
-                       np.argsort(np.argsort(b)).astype(np.float64))
-
-    hist = {f"exit{e + 1}": round(float(np.mean(cho == e + 1)), 4)
-            for e in range(E)}
-    qs = np.quantile(sig, np.linspace(0, 1, args.n_buckets + 1))
-    qs[-1] += 1e-9
-    buckets = []
-    for b in range(args.n_buckets):
-        m = (sig >= qs[b]) & (sig < qs[b + 1])
-        if not m.any():
-            continue
-        buckets.append({
-            "sigma_range": [round(float(qs[b]), 3),
-                            round(float(qs[b + 1]), 3)],
-            "n_utts": int(m.sum()),
-            "mean_chosen_exit": round(float(cho[m].mean()), 3),
-            "gated_wer_pct": round(100 * gerr[m].sum()
-                                   / words[m].sum(), 2),
-            "exit1_wer_pct": round(100 * eerr[m, 0].sum()
-                                   / words[m].sum(), 2),
-            f"exit{E}_wer_pct": round(100 * eerr[m, -1].sum()
-                                      / words[m].sum(), 2),
-        })
     report = {
         "ckpt": args.ckpt, "calib": args.calib,
         "n_utts": args.n_utts, "seed": args.seed,
-        "eval_knobs": knobs,
-        "score": SCORE, "thresholds": THRESHOLD,
+        "eval_knobs": knobs, "score": SCORE,
         "temperatures": TEMPS,
-        "accept_histogram": hist,
-        "mean_exits": round(float(cho.mean()), 3),
-        "gated_wer_pct": round(100 * gerr.sum() / words.sum(), 2),
         "exit_wer_ladder": {
-            f"exit{e + 1}": round(100 * eerr[:, e].sum()
-                                  / words.sum(), 2) for e in range(E)},
-        "sigma_exit_pearson": round(pearson(sig, cho), 3),
-        "sigma_exit_spearman": round(spearman(sig, cho), 3),
-        "snr_buckets": buckets,
+            f"exit{e + 1}": round(100 * eerr[e].sum() / words.sum(), 2)
+            for e in range(E)},
+        "sigma_conf_pearson_first_reachable": round(
+            pearson(sig, conf[first_reach]), 3),
+        "operating_points": points,
+        # top-level copies of the promoted point (back-compat surface)
+        "accept_histogram": promoted["accept_histogram"],
+        "mean_exits": promoted["mean_exits"],
+        "gated_wer_pct": promoted["gated_wer_pct"],
+        "sigma_exit_pearson": promoted["sigma_exit_pearson"],
+        "sigma_exit_spearman": promoted["sigma_exit_spearman"],
+        "snr_buckets": promoted["snr_buckets"],
+        "thresholds": promoted["thresholds"],
     }
     print(json.dumps(report, indent=1))
     if args.out:
