@@ -83,8 +83,11 @@ def spearman(a, b):
 def simulate_point(thresholds, conf, sig, eerr, words, E,
                    n_buckets):
     """Gate rule (gated_apply semantics): earliest exit with
-    conf >= threshold, final exit as fallback. conf (E, N)."""
+    conf >= threshold, final exit as fallback. conf (E, N).
+    `escalated` = chose anything deeper than the policy's shallowest
+    reachable exit."""
     thr = np.asarray(thresholds, np.float64)
+    shallowest = next((e + 1 for e in range(E) if thr[e] <= 1.0), E)
     ok = conf >= thr[:, None]                       # (E, N)
     ok[-1] = True
     chosen = np.argmax(ok, axis=0) + 1              # (N,) 1-based
@@ -104,7 +107,7 @@ def simulate_point(thresholds, conf, sig, eerr, words, E,
             "n_utts": int(m.sum()),
             "mean_chosen_exit": round(float(chosen[m].mean()), 3),
             "escalated_share": round(float(np.mean(
-                chosen[m] > chosen.min())), 4),
+                chosen[m] > shallowest)), 4),
             "gated_wer_pct": round(100 * gerr[m].sum()
                                    / words[m].sum(), 2),
         })
@@ -112,7 +115,7 @@ def simulate_point(thresholds, conf, sig, eerr, words, E,
         "thresholds": [round(float(t), 6) for t in thr],
         "accept_histogram": hist,
         "mean_exits": round(float(chosen.mean()), 3),
-        "escalated_share": round(float(np.mean(chosen > chosen.min())),
+        "escalated_share": round(float(np.mean(chosen > shallowest)),
                                  4),
         "gated_wer_pct": round(100 * gerr.sum() / words.sum(), 2),
         "sigma_exit_pearson": round(pearson(sig, chosen), 3),
