@@ -203,6 +203,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "while_loop gate; computed cost is per-utterance "
                         "instead of batch-max. Requires --exit_threshold "
                         "or --gate_calibration.")
+    p.add_argument("--fast_exit", type=int, default=1,
+                   help="Gated STREAMING only: the shallow stage exit "
+                        "each chunk decodes at before the confidence "
+                        "gate decides whether to escalate to the deep "
+                        "trunk (serving/streaming.py fast_exit). Use "
+                        "the flagship's best shallow exit (2) when "
+                        "exit 1 is below serving quality.")
     p.add_argument("--cascade_pack", type=int, default=16,
                    help="Phase-B re-batch granularity: escalated rows "
                         "are packed into batches padded to a multiple "

@@ -276,6 +276,7 @@ def run_ctc_streaming(model_cfg, state, dataset, split, tokenizer, lex,
         if gated:
             kw["exit_threshold"] = float(args.exit_threshold)
             kw["gate_score"] = args.gate_score
+            kw["fast_exit"] = args.fast_exit
         else:
             kw["all_exits"] = True
         pool = StreamPool(len(group), state["params"],
